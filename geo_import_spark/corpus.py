@@ -1,0 +1,214 @@
+"""Deterministic synthetic interleaved-span corpus (BASELINE.json input_hint).
+
+The engine's canonical input is an Iceberg-style table
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+with geometry spans carrying GeoJSON Feature JSON (the reference's SoQL
+geometry value, SURVEY.md §1.2). No external data is allowed, so the
+corpus is derived **deterministically, with integer arithmetic only**,
+from the driver's TPC-H-ish parquet tables — which lets the DuckDB
+oracle (`__spark_entry__.oracle_sql`) recompute the exact same
+coordinates in pure SQL and cross-check join results value-for-value:
+
+- document points   <- orders   (one doc per order; lon/lat hashed from o_orderkey)
+- polygon layer     <- nation x 4 replicas (rectangles; poly 0 is a huge
+                       hot polygon to exercise skew handling)
+- kNN query probes  <- customer
+
+All spans are built with JVM-side column expressions (concat /
+format_string / transform) — zero Python in the generator.
+
+Every formula below exists verbatim (same op order) in SQL form in
+`__spark_entry__.py`; keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+# Boundary offset keeping rectangle edges off the 1e-6 point-coordinate
+# grid => containment decisions are tie-free and engine-independent.
+EDGE_EPS = 0.00000045
+N_POLY_REPLICAS = 4
+KNN_K = 10
+
+
+def _point_lon(key):
+    return ((key * F.lit(2654435761)) % 360000000) / 1000000.0 - 180.0
+
+
+def _point_lat(key):
+    return ((key * F.lit(1779033703) + 12345) % 170000000) / 1000000.0 - 85.0
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One WGS84 point per order: (doc_id, lon, lat, a_string, a_num)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    return orders.select(
+        F.concat(F.lit("doc-"), k.cast("string")).alias("doc_id"),
+        _point_lon(k).alias("lon"),
+        _point_lat(k).alias("lat"),
+        F.col("o_orderstatus").alias("a_string"),
+        F.col("o_custkey").cast("double").alias("a_num"),
+    )
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span documents table (the engine's canonical input).
+
+    Span layout per doc (offsets recomputed after conditional drops):
+      text('order <k> <status>'), geometry(GeoJSON Feature),
+      media('media://<hash>') for even keys, text(priority) for k%3==0.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    lon = _point_lon(k)
+    lat = _point_lat(k)
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        lon.cast("string"),
+        F.lit(","),
+        lat.cast("string"),
+        F.lit(']},"properties":{"a_string":"'),
+        F.col("o_orderstatus"),
+        F.lit('","a_num":'),
+        F.col("o_custkey").cast("string"),
+        F.lit("}}"),
+    )
+    media_ref = F.concat(
+        F.lit("media://"), ((k * 1103515245 + 12345) % 4294967296).cast("string")
+    )
+    span = lambda kind, text, mref: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        mref.alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    null_span = F.lit(None).cast(SPAN_TYPE)
+    raw = F.array(
+        span("text", F.concat(F.lit("order "), k.cast("string"), F.lit(" "), F.col("o_orderstatus")), F.lit("")),
+        span("geometry", feature, F.lit("")),
+        F.when(k % 2 == 0, span("media", F.lit(""), media_ref)).otherwise(null_span),
+        F.when(k % 3 == 0, span("text", F.col("o_orderpriority"), F.lit(""))).otherwise(null_span),
+    )
+    present = F.filter(raw, lambda x: x.isNotNull())
+    spans = F.transform(
+        present,
+        lambda x, i: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return orders.select(
+        F.concat(F.lit("doc-"), k.cast("string")).alias("doc_id"), spans.alias("spans")
+    )
+
+
+def polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle polygon layer: nation x replicas -> ~100 polygons.
+
+    Columns: poly_id, layer_id, pk, minx/miny/maxx/maxy (tie-free
+    bounds), geom (flat struct, closed CCW ring). pk=0 is a 200x140
+    degree hot polygon (skew driver, SURVEY §4.2.2).
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reps = spark.range(N_POLY_REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    df = nation.crossJoin(reps).select(
+        (F.col("n_nationkey") * N_POLY_REPLICAS + F.col("rep")).cast("long").alias("pk"),
+        F.col("n_regionkey").cast("string").alias("layer_id"),
+    )
+    pk = F.col("pk")
+    cx = ((pk * 2654435761) % 340000000) / 1000000.0 - 170.0
+    cy = ((pk * 1779033703 + 777) % 150000000) / 1000000.0 - 75.0
+    w = F.when(pk == 0, F.lit(200.0)).otherwise((pk % 7).cast("double") * 3.0 + 4.0)
+    h = F.when(pk == 0, F.lit(140.0)).otherwise((pk % 5).cast("double") * 3.0 + 3.0)
+    minx = F.greatest(cx - w / 2.0 + EDGE_EPS, F.lit(-179.9999995))
+    maxx = F.least(cx + w / 2.0 + EDGE_EPS, F.lit(179.9999995))
+    miny = F.greatest(cy - h / 2.0 + EDGE_EPS, F.lit(-84.9999995))
+    maxy = F.least(cy + h / 2.0 + EDGE_EPS, F.lit(84.9999995))
+    df = df.select(
+        F.concat(F.lit("poly-"), pk.cast("string")).alias("poly_id"),
+        "layer_id",
+        "pk",
+        minx.alias("minx"),
+        miny.alias("miny"),
+        maxx.alias("maxx"),
+        maxy.alias("maxy"),
+    )
+    geom = F.struct(
+        F.lit("Polygon").alias("gtype"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array("minx", "maxx", "maxx", "minx", "minx").alias("xs"),
+        F.array("miny", "miny", "maxy", "maxy", "miny").alias("ys"),
+    )
+    return df.withColumn("geom", geom)
+
+
+def knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN probes from customer: (query_id, qlon, qlat, k)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.col("c_custkey")
+    return cust.select(
+        F.concat(F.lit("q-"), c.cast("string")).alias("query_id"),
+        (((c * 2654435761 + 11) % 360000000) / 1000000.0 - 180.0).alias("qlon"),
+        (((c * 1779033703 + 7) % 170000000) / 1000000.0 - 85.0).alias("qlat"),
+        F.lit(KNN_K).alias("k"),
+    )
+
+
+# --- SQL mirrors (DuckDB oracle building blocks; keep in sync above) ---
+
+SQL_POINTS = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       ((o_orderkey * 2654435761) % 360000000) / 1000000.0 - 180.0 AS lon,
+       ((o_orderkey * 1779033703 + 12345) % 170000000) / 1000000.0 - 85.0 AS lat,
+       o_orderstatus AS a_string,
+       CAST(o_custkey AS DOUBLE) AS a_num
+FROM orders
+"""
+
+SQL_POLYGONS = f"""
+WITH pkt AS (
+  SELECT (n_nationkey * {N_POLY_REPLICAS} + rep) AS pk,
+         CAST(n_regionkey AS VARCHAR) AS layer_id
+  FROM nation CROSS JOIN (SELECT UNNEST(range({N_POLY_REPLICAS})) AS rep)
+), geo AS (
+  SELECT pk, layer_id,
+         ((pk * 2654435761) % 340000000) / 1000000.0 - 170.0 AS cx,
+         ((pk * 1779033703 + 777) % 150000000) / 1000000.0 - 75.0 AS cy,
+         CASE WHEN pk = 0 THEN 200.0 ELSE CAST(pk % 7 AS DOUBLE) * 3.0 + 4.0 END AS w,
+         CASE WHEN pk = 0 THEN 140.0 ELSE CAST(pk % 5 AS DOUBLE) * 3.0 + 3.0 END AS h
+  FROM pkt
+)
+SELECT 'poly-' || CAST(pk AS VARCHAR) AS poly_id, layer_id, pk,
+       GREATEST(cx - w / 2.0 + {EDGE_EPS}, -179.9999995) AS minx,
+       GREATEST(cy - h / 2.0 + {EDGE_EPS}, -84.9999995) AS miny,
+       LEAST(cx + w / 2.0 + {EDGE_EPS}, 179.9999995) AS maxx,
+       LEAST(cy + h / 2.0 + {EDGE_EPS}, 84.9999995) AS maxy
+FROM geo
+"""
+
+SQL_KNN_QUERIES = """
+SELECT 'q-' || CAST(c_custkey AS VARCHAR) AS query_id,
+       ((c_custkey * 2654435761 + 11) % 360000000) / 1000000.0 - 180.0 AS qlon,
+       ((c_custkey * 1779033703 + 7) % 170000000) / 1000000.0 - 85.0 AS qlat
+FROM customer
+"""

@@ -1,0 +1,167 @@
+"""Cell-equi-join point-in-polygon (the engine's flagship operator).
+
+The reference has no spatial join at all (SURVEY.md §2.4); this is the
+new engine's core physical strategy (§4.2.1-2):
+
+  1. polygons -> bbox (JVM-side array_min/max) -> adaptive quadtree cell
+     covering (pandas UDF; per-polygon level chosen so |cover| <= max_cells,
+     bounding candidate blow-up) -> explode to (cell_id, poly)
+  2. points -> cell id at every level present in the polygon covering
+     (usually 2-4 levels) -> explode
+  3. equi-join on cell_id (hash/sort-merge; cell ids are Morton codes so
+     range partitioning is spatial partitioning), AQE skew-join as the
+     backstop for hot cells, optional explicit salting
+  4. exact even-odd ray-cast refinement in a vectorized pandas UDF
+
+Scale notes (100 TB): the shuffle key is cell_id — bounded fan-out on
+both sides (points x |levels|, polys x max_cells). Hot cells (a city
+cell holding millions of points) are handled by `salt_factor`:
+points get pmod(hash, s), polygons replicate x s, join key becomes
+(cell_id, salt) — an s-way split of every hot cell's hash bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geo_import_spark.functions import cells as cellmod
+
+COVER_TYPE = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("level", T.IntegerType()),
+    ]
+)
+
+
+def make_covering_udf(base_level: int, max_cells: int):
+    @pandas_udf(COVER_TYPE)
+    def covering(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.DataFrame:
+        out_cells, out_level = [], []
+        for a, b, c, d in zip(minx.values, miny.values, maxx.values, maxy.values):
+            if np.isnan(a):
+                out_cells.append([])
+                out_level.append(base_level)
+                continue
+            cover, lv = cellmod.covering_bbox(a, b, c, d, base_level, max_cells)
+            out_cells.append(cover.tolist())
+            out_level.append(lv)
+        return pd.DataFrame({"cells": out_cells, "level": out_level})
+
+    return covering
+
+
+def make_cell_udf(level: int):
+    @pandas_udf(T.LongType())
+    def cell_at(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cellmod.cell_encode(lon.values, lat.values, level))
+
+    return cell_at
+
+
+@pandas_udf(T.BooleanType())
+def pip_contains(
+    lon: pd.Series, lat: pd.Series, ring_offsets: pd.Series, xs: pd.Series, ys: pd.Series
+) -> pd.Series:
+    """Vectorized even-odd ray cast over a batch of (point, polygon)
+    candidate pairs. Ragged polygon arrays are concatenated into flat
+    ndarrays (Arrow-offset style) and reduced per candidate row."""
+    n = len(lon)
+    if n == 0:
+        return pd.Series([], dtype=bool)
+    ro_list = ring_offsets.values
+    xs_list = xs.values
+    ys_list = ys.values
+    nrings_per_row = np.array([len(r) - 1 for r in ro_list], dtype=np.int64)
+    ring_row = np.repeat(np.arange(n), nrings_per_row)
+    # per-row coordinate lengths; shift each row's ring offsets by the
+    # running coordinate base to form batch-global ring offsets
+    coord_lens = np.array([len(v) for v in xs_list], dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(coord_lens)[:-1]])
+    ring_offsets_flat = np.concatenate(
+        [np.asarray(r[1:], dtype=np.int64) + b for r, b in zip(ro_list, base)]
+    ) if n else np.array([], dtype=np.int64)
+    ring_offsets_flat = np.concatenate([[0], ring_offsets_flat])
+    flat_xs = np.concatenate(xs_list) if n else np.array([])
+    flat_ys = np.concatenate(ys_list) if n else np.array([])
+    from geo_import_spark.functions.geomkern import batch_point_in_polygon
+
+    res = batch_point_in_polygon(
+        lon.values.astype(np.float64),
+        lat.values.astype(np.float64),
+        ring_row,
+        ring_offsets_flat,
+        flat_xs,
+        flat_ys,
+    )
+    return pd.Series(res)
+
+
+def polygon_covering(polygons: DataFrame, base_level: int = 13, max_cells: int = 64) -> DataFrame:
+    """polygons(poly_id, geom) -> (poly_id, cell_id, level) exploded cover."""
+    covering_udf = make_covering_udf(base_level, max_cells)
+    boxed = polygons.select(
+        "poly_id",
+        F.array_min("geom.xs").alias("minx"),
+        F.array_min("geom.ys").alias("miny"),
+        F.array_max("geom.xs").alias("maxx"),
+        F.array_max("geom.ys").alias("maxy"),
+    ).withColumn("cover", covering_udf("minx", "miny", "maxx", "maxy"))
+    return boxed.select(
+        "poly_id", F.col("cover.level").alias("level"), F.explode("cover.cells").alias("cell_id")
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    base_level: int = 13,
+    max_cells: int = 64,
+    salt_factor: int | None = None,
+    point_cols: tuple[str, ...] = ("doc_id", "span_offset"),
+) -> DataFrame:
+    """Exact PIP join: returns point_cols + poly_id for every
+    (point, polygon) containment. `points` needs lon/lat; `polygons`
+    needs poly_id + flat geom."""
+    spark = points.sparkSession
+    cover = polygon_covering(polygons, base_level, max_cells)
+    levels = [r["level"] for r in cover.select("level").distinct().collect()]
+    if not levels:
+        return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
+
+    pts = points.select(*point_cols, "lon", "lat")
+    per_level = []
+    for lv in levels:
+        cell_udf = make_cell_udf(lv)
+        per_level.append(pts.withColumn("cell_id", cell_udf("lon", "lat")))
+    pts_cells = per_level[0]
+    for other in per_level[1:]:
+        pts_cells = pts_cells.unionByName(other)
+
+    if salt_factor and salt_factor > 1:
+        s = salt_factor
+        pts_cells = pts_cells.withColumn(
+            "salt", F.pmod(F.hash(*[F.col(c) for c in point_cols]), F.lit(s))
+        )
+        salts = spark.range(s).select(F.col("id").cast("int").alias("salt"))
+        cover = cover.crossJoin(salts)
+        join_keys = ["cell_id", "salt"]
+    else:
+        join_keys = ["cell_id"]
+
+    cand = pts_cells.join(cover, join_keys).select(*point_cols, "lon", "lat", "poly_id")
+    polys_geom = polygons.select(
+        "poly_id",
+        F.col("geom.ring_offsets").alias("ring_offsets"),
+        F.col("geom.xs").alias("xs"),
+        F.col("geom.ys").alias("ys"),
+    )
+    refined = cand.join(polys_geom, "poly_id").filter(
+        pip_contains("lon", "lat", "ring_offsets", "xs", "ys")
+    )
+    return refined.select(*point_cols, "poly_id")

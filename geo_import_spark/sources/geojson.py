@@ -1,0 +1,135 @@
+"""GeoJSON span decoding — the Spark-first replacement for the
+reference's streaming SAX decoder (es6-lib/decoders/geojson.js:15-69 +
+util/parser.js). Instead of a byte-stream parser feeding a row pipe,
+the engine explodes `documents.spans`, routes `kind='geometry'` spans
+to a **batched pandas UDF** that parses GeoJSON Feature JSON per Arrow
+batch and emits the flat geometry struct + properties JSON + CRS.
+
+Per-feature CRS override / collection default CRS semantics follow
+es6-lib/decoders/merger.js:22 (default urn:ogc:def:crs:OGC:1.3:CRS84).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geo_import_spark.functions import geomkern
+
+DEFAULT_CRS = "urn:ogc:def:crs:OGC:1.3:CRS84"  # merger.js:22
+
+GEOM_TYPE = T.StructType(
+    [
+        T.StructField("gtype", T.StringType()),
+        T.StructField("part_offsets", T.ArrayType(T.IntegerType())),
+        T.StructField("ring_offsets", T.ArrayType(T.IntegerType())),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+PARSED_FEATURE_TYPE = T.StructType(
+    [
+        T.StructField("geom", GEOM_TYPE),
+        T.StructField("properties", T.StringType()),  # canonical JSON
+        T.StructField("crs", T.StringType()),
+        T.StructField("error", T.StringType()),  # error side-channel (G2 arity etc.)
+    ]
+)
+
+
+def _parse_one(txt: str, default_crs: str):
+    """One GeoJSON Feature (or bare geometry) -> row dict.
+
+    Validation mirrors transform.js:12-29: missing/invalid type,
+    missing geometry, linked (href) CRS -> error row."""
+    empty_geom = None
+    try:
+        obj = json.loads(txt)
+    except (ValueError, TypeError) as e:
+        return (empty_geom, None, default_crs, f"malformed json: {e}")
+    if not isinstance(obj, dict):
+        return (empty_geom, None, default_crs, "feature is not an object")
+    if obj.get("type") == "Feature":
+        geometry = obj.get("geometry")
+        props = obj.get("properties") or {}
+        crs_obj = obj.get("crs")
+    elif obj.get("type") in geomkern.GEOM_TYPES:
+        geometry, props, crs_obj = obj, {}, None
+    else:
+        return (empty_geom, None, default_crs, f"invalid type {obj.get('type')!r}")
+    crs = default_crs
+    if isinstance(crs_obj, dict):
+        if crs_obj.get("type") == "link" or "href" in (crs_obj.get("properties") or {}):
+            return (empty_geom, None, default_crs, "linked CRS not supported")
+        crs = (crs_obj.get("properties") or {}).get("name", default_crs)
+    props_json = json.dumps(props, sort_keys=True, separators=(",", ":"))
+    if geometry is None:
+        return (None, props_json, crs, None)  # null geometry -> SoQLNull (P4)
+    gtype = geometry.get("type")
+    if gtype not in geomkern.GEOM_TYPES:
+        return (empty_geom, props_json, crs, f"invalid geometry type {gtype!r}")
+    try:
+        po, ro, xs, ys = geomkern.flatten_geojson_coords(gtype, geometry.get("coordinates"))
+    except ValueError as e:
+        return (empty_geom, props_json, crs, str(e))
+    if sum(ro[i + 1] - ro[i] for i in range(len(ro) - 1)) > geomkern.MAX_VERTICES_PER_ROW:
+        return (empty_geom, props_json, crs, "too many vertices")
+    return ((gtype, po, ro, xs, ys), props_json, crs, None)
+
+
+@pandas_udf(PARSED_FEATURE_TYPE)
+def parse_feature(texts: pd.Series) -> pd.DataFrame:
+    rows = [_parse_one(t, DEFAULT_CRS) for t in texts]
+    return pd.DataFrame(
+        {
+            "geom": [r[0] for r in rows],
+            "properties": [r[1] for r in rows],
+            "crs": [r[2] for r in rows],
+            "error": [r[3] for r in rows],
+        }
+    )
+
+
+def geometry_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> one row per geometry span with parsed
+    flat geometry. The replacement for decoder → merger pass 1."""
+    s = documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("span_offset"),
+    )
+    g = s.filter(F.col("kind") == "geometry").withColumn("parsed", parse_feature("text"))
+    return g.select(
+        "doc_id",
+        "span_offset",
+        F.col("parsed.geom").alias("geom"),
+        F.col("parsed.properties").alias("properties"),
+        F.col("parsed.crs").alias("crs"),
+        F.col("parsed.error").alias("error"),
+    )
+
+
+def point_spans(documents: DataFrame) -> DataFrame:
+    """Geometry spans narrowed to Points as plain (lon, lat) doubles —
+    the JVM-native hot-path representation for the PIP/kNN/tiling joins."""
+    g = geometry_spans(documents).filter(
+        F.col("error").isNull() & (F.col("geom.gtype") == "Point")
+    )
+    return g.select(
+        "doc_id",
+        "span_offset",
+        F.col("geom.xs")[0].alias("lon"),
+        F.col("geom.ys")[0].alias("lat"),
+        "properties",
+        "crs",
+    )
