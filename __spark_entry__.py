@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship PIP join on sf0.001.
+`queries()` exposes every SQL-expressible operator from SURVEY.md §2
+as (spark, sf_dir) -> DataFrame; `oracle_sql()` holds the DuckDB
+mirror for each (same column names/aliases on both sides — the
+driver's compare hashes values after sorting columns by name).
+
+The synthetic geo corpus (points/polygons/documents) is derived
+deterministically from the driver's parquet tables with integer
+arithmetic only (geo_import_spark/corpus.py), so every coordinate is
+recomputable in pure SQL and the oracle can verify the spatial joins
+value-for-value.
 """
 
 from __future__ import annotations
@@ -12,27 +18,236 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_import_spark import corpus
+from geo_import_spark.corpus import SQL_POINTS, SQL_POLYGONS
+from geo_import_spark.operators import knn as knnmod
+from geo_import_spark.operators import pip as pipmod
+from geo_import_spark.operators import tiling
+from geo_import_spark.sources import geojson
+
+KNN_LIMIT = 120  # custkey cutoff for the kNN query (bounds the oracle cross join)
+TILE_Z = 12
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _parse_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P3/P4: explode spans -> parse GeoJSON features (pandas UDF) ->
+    typed point columns + canonical properties JSON."""
+    docs = corpus.documents(spark, sf_dir)
+    return geojson.point_spans(docs).select(
+        "doc_id", "span_offset", "lon", "lat", "properties", "crs"
+    )
+
+
+def _pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: cell-equi-join + exact ray-cast PIP (SURVEY §4.2.1)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    return pipmod.pip_join(pts, polys).select("doc_id", "poly_id")
+
+
+def _pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-style per-polygon containment counts."""
+    return (
+        _pip_join(spark, sf_dir)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule raster-tile (z/x/y quadkey) assignment for media spans."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    anchors = tiling.first_geometry_anchor(pts)
+    return tiling.assign_tiles(docs, anchors, z=TILE_Z).select(
+        "doc_id", "span_offset", "media_ref", "z", "x", "y", "quadkey"
+    )
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via k-ring candidate expansion + window re-rank (SURVEY §4.2.4)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    queries_df = corpus.knn_queries(spark, sf_dir).filter(
+        F.regexp_extract("query_id", r"q-(\d+)", 1).cast("long") <= KNN_LIMIT
+    )
+    res = knnmod.knn_join(queries_df, pts, k=corpus.KNN_K, level=6)
+    return res.select("query_id", "doc_id", "rank")
+
+
+def _layer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8/A4 mega-bbox: per-layer polygon bbox + count aggregate."""
+    polys = corpus.polygons(spark, sf_dir)
+    return polys.groupBy("layer_id").agg(
+        F.count("*").alias("n_polys"),
+        F.min("minx").alias("minx"),
+        F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"),
+        F.max("maxy").alias("maxy"),
+    )
+
+
+def _point_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 layer summary over point spans: per pseudo-layer (a_string)
+    count + bbox, computed from the parsed properties JSON."""
+    pts = _parse_points(spark, sf_dir)
+    return (
+        pts.withColumn("layer", F.get_json_object("properties", "$.a_string"))
+        .groupBy("layer")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lon").alias("minx"),
+            F.min("lat").alias("miny"),
+            F.max("lon").alias("maxx"),
+            F.max("lat").alias("maxy"),
+        )
+    )
+
+
+def _span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-hint invariant surfaced as a query: span count + ordered
+    kind sequence per document (order by offset)."""
+    docs = corpus.documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"]),
+                lambda s: s["kind"],
+            ),
+        ).alias("kinds"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: which documents fall
+    inside which polygon layer (PIP join + layer metadata)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    hits = pipmod.pip_join(pts, polys)
+    return hits.join(
+        F.broadcast(polys.select("poly_id", "layer_id")), "poly_id"
+    ).select("doc_id", "span_offset", "poly_id", "layer_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "parse_points": _parse_points,
+        "pip_join": _pip_join,
+        "pip_counts": _pip_counts,
+        "tile_assign": _tile_assign,
+        "knn": _knn,
+        "layer_bbox": _layer_bbox,
+        "point_summary": _point_summary,
+        "span_kinds": _span_kinds,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL over the pre-registered parquet views)
+# ---------------------------------------------------------------------------
+
+_PTS = f"pts AS ({SQL_POINTS})"
+_POLYS = f"polys AS ({SQL_POLYGONS})"
+
+_SQL_PIP = f"""
+WITH {_PTS}, {_POLYS}
+SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
+FROM pts p JOIN polys g
+  ON p.lon > g.minx AND p.lon < g.maxx AND p.lat > g.miny AND p.lat < g.maxy
+"""
+
+_QK_DIGITS = (
+    f"list_transform(range(1, {TILE_Z + 1}), i -> "
+    f"CAST(((x >> ({TILE_Z} - i)) & 1) + 2 * ((y >> ({TILE_Z} - i)) & 1) AS VARCHAR))"
+)
+
+_SQL_TILES = f"""
+WITH {_PTS}, media AS (
+  SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+         CAST(2 AS INTEGER) AS span_offset,
+         'media://' || CAST((o_orderkey * 1103515245 + 12345) % 4294967296 AS VARCHAR) AS media_ref
+  FROM orders WHERE o_orderkey % 2 = 0
+), located AS (
+  SELECT m.doc_id, m.span_offset, m.media_ref,
+         CAST(floor((p.lon + 180.0) / 360.0 * {1 << TILE_Z}) AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(p.lat)) + 1.0 / cos(radians(p.lat))) / pi()) / 2.0 * {1 << TILE_Z}) AS BIGINT) AS y
+  FROM media m JOIN pts p ON m.doc_id = p.doc_id
+)
+SELECT doc_id, span_offset, media_ref, CAST({TILE_Z} AS INTEGER) AS z, x, y,
+       array_to_string({_QK_DIGITS}, '') AS quadkey
+FROM located
+"""
+
+_SQL_KNN = f"""
+WITH q AS (
+  SELECT 'q-' || CAST(c_custkey AS VARCHAR) AS query_id,
+         ((c_custkey * 2654435761 + 11) % 360000000) / 1000000.0 - 180.0 AS qlon,
+         ((c_custkey * 1779033703 + 7) % 170000000) / 1000000.0 - 85.0 AS qlat
+  FROM customer WHERE c_custkey <= {KNN_LIMIT}
+), {_PTS}, ranked AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY (p.lon - q.qlon) * (p.lon - q.qlon)
+                  + (p.lat - q.qlat) * (p.lat - q.qlat) ASC,
+                  p.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM q CROSS JOIN pts p
+)
+SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {corpus.KNN_K}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_points": f"""
+            WITH {_PTS}
+            SELECT doc_id, CAST(1 AS INTEGER) AS span_offset, lon, lat,
+                   '{{"a_num":' || CAST(CAST(a_num AS BIGINT) AS VARCHAR)
+                     || ',"a_string":"' || a_string || '"}}' AS properties,
+                   'urn:ogc:def:crs:OGC:1.3:CRS84' AS crs
+            FROM pts
+        """,
+        "pip_join": _SQL_PIP,
+        "pip_counts": f"""
+            WITH hits AS ({_SQL_PIP})
+            SELECT poly_id, COUNT(*) AS n_docs FROM hits GROUP BY poly_id
+        """,
+        "tile_assign": _SQL_TILES,
+        "knn": _SQL_KNN,
+        "layer_bbox": f"""
+            WITH {_POLYS}
+            SELECT layer_id, COUNT(*) AS n_polys,
+                   MIN(minx) AS minx, MIN(miny) AS miny,
+                   MAX(maxx) AS maxx, MAX(maxy) AS maxy
+            FROM polys GROUP BY layer_id
+        """,
+        "point_summary": f"""
+            WITH {_PTS}
+            SELECT a_string AS layer, COUNT(*) AS n,
+                   MIN(lon) AS minx, MIN(lat) AS miny,
+                   MAX(lon) AS maxx, MAX(lat) AS maxy
+            FROM pts GROUP BY a_string
+        """,
+        "span_kinds": """
+            SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(2 + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_spans,
+                   'text,geometry'
+                     || CASE WHEN o_orderkey % 2 = 0 THEN ',media' ELSE '' END
+                     || CASE WHEN o_orderkey % 3 = 0 THEN ',text' ELSE '' END AS kinds
+            FROM orders
+        """,
+    }
