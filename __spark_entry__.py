@@ -22,13 +22,21 @@ from pyspark.sql import functions as F
 
 from geo_import_spark import corpus
 from geo_import_spark.corpus import SQL_POINTS, SQL_POLYGONS
+from geo_import_spark.operators import dedup as dedupmod
 from geo_import_spark.operators import knn as knnmod
+from geo_import_spark.operators import multimodal
 from geo_import_spark.operators import pip as pipmod
+from geo_import_spark.operators import similarity
+from geo_import_spark.operators import textops
 from geo_import_spark.operators import tiling
 from geo_import_spark.sources import geojson
+from geo_import_spark.streaming import events as eventsmod
 
 KNN_LIMIT = 120  # custkey cutoff for the kNN query (bounds the oracle cross join)
 TILE_Z = 12
+JACCARD_THRESHOLD = 0.2
+ANN_QUERIES = 10
+ANN_K = 10
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +136,69 @@ def _span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline queries (documents/embeddings/events tables) ---
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _text_stats(spark, sf_dir):
+    return textops.text_stats(_docs(spark, sf_dir))
+
+
+def _token_counts(spark, sf_dir):
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
+def _dedup_exact(spark, sf_dir):
+    return textops.exact_dedup(_docs(spark, sf_dir))
+
+
+def _doc_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _simhash(spark, sf_dir):
+    return textops.simhash(_docs(spark, sf_dir))
+
+
+def _ngram_jaccard(spark, sf_dir):
+    return dedupmod.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def _minhash_sig(spark, sf_dir):
+    return dedupmod.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _minhash_lsh(spark, sf_dir):
+    return dedupmod.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
+
+
+def _ann_buckets(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_buckets(emb)
+
+
+def _media_features(spark, sf_dir):
+    docs = corpus.documents(spark, sf_dir)
+    return multimodal.media_features(tiling.media_spans(docs))
+
+
+def _events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventsmod.windowed_counts(ev)
+
+
+def _sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventsmod.sessionize(ev, gap_minutes=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -151,6 +222,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,
+        "text_stats": _text_stats,
+        "token_counts": _token_counts,
+        "dedup_exact": _dedup_exact,
+        "doc_fingerprint": _doc_fingerprint,
+        "simhash": _simhash,
+        "ngram_jaccard": _ngram_jaccard,
+        "minhash_signatures": _minhash_sig,
+        "minhash_lsh_pairs": _minhash_lsh,
+        "ann_cosine_topk": _ann_topk,
+        "ann_lsh_buckets": _ann_buckets,
+        "media_features": _media_features,
+        "events_window": _events_window,
+        "sessionize": _sessionize,
     }
 
 
@@ -250,4 +334,26 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN o_orderkey % 3 = 0 THEN ',text' ELSE '' END AS kinds
             FROM orders
         """,
+        "text_stats": textops.SQL_TEXT_STATS,
+        "token_counts": textops.SQL_TOKEN_COUNTS,
+        "dedup_exact": textops.SQL_EXACT_DEDUP,
+        "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
+        "simhash": textops.SQL_SIMHASH,
+        "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(threshold=JACCARD_THRESHOLD),
+        "minhash_signatures": dedupmod.SQL_MINHASH_SIG,
+        "minhash_lsh_pairs": dedupmod.SQL_MINHASH_LSH_PAIRS,
+        "ann_cosine_topk": similarity.SQL_COSINE_TOPK.format(
+            n_queries=ANN_QUERIES, k=ANN_K
+        ),
+        "ann_lsh_buckets": similarity.SQL_LSH_BUCKETS,
+        "media_features": multimodal.sql_media_features(
+            """
+            SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(2 AS INTEGER) AS span_offset,
+                   'media://' || CAST((o_orderkey * 1103515245 + 12345) % 4294967296 AS VARCHAR) AS media_ref
+            FROM orders WHERE o_orderkey % 2 = 0
+            """
+        ),
+        "events_window": eventsmod.SQL_WINDOWED_COUNTS,
+        "sessionize": eventsmod.SQL_SESSIONIZE.format(gap=30 * 60),
     }

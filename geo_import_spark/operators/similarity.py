@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Query side is
+  tiny → broadcast; dot/norms are JVM-side fold expressions
+  (zip_with + aggregate, whole-stage codegen) — no Python. Top-k via
+  window row_number partitioned by query.
+- Random-hyperplane LSH buckets: the scale path — a 2^n_planes-way
+  partitioning of the corpus so candidate generation is an equi-join
+  on bucket instead of an all-pairs cross join. Plane components are
+  a fixed integer-arithmetic pseudo-random grid (engine-portable; SQL
+  mirror recomputes them bit-for-bit).
+
+All float math is double (float32 inputs cast up), sequential
+left-to-right folds — identical in the DuckDB mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+PLANE_MOD = 1000003
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    Queries = vec_id < n_queries (broadcast); targets = all rows.
+    Output: (query_id, vec_id, rank). rank 1 is the query itself
+    (cos = 1) — kept for determinism.
+    """
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+def _plane_component(j, i):
+    """Deterministic plane value in [-0.5, 0.5): integer grid formula,
+    identical in the SQL mirror."""
+    return ((j * DIM + i) * 2654435761 % PLANE_MOD) / float(PLANE_MOD) - 0.5
+
+
+PLANES = [[_plane_component(j, i) for i in range(DIM)] for j in range(N_PLANES)]
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit j set iff
+    dot(plane_j, v) > 0. Output: (vec_id, bucket: int)."""
+    v = _dvec("embedding")
+    bucket = None
+    for j, plane in enumerate(PLANES):
+        d = _dot(F.array(*[F.lit(p) for p in plane]), v)
+        bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+# --- SQL mirrors ------------------------------------------------------------
+
+_DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {{n_queries}}),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])))
+              * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * v[i])))) AS cos
+  FROM e CROSS JOIN q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= {{k}}
+"""
+
+SQL_LSH_BUCKETS = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings)
+SELECT vec_id,
+       CAST(list_sum(list_transform(range(0, {N_PLANES}), j ->
+         CASE WHEN list_sum(list_transform(range(1, {DIM + 1}), i ->
+                ((((j * {DIM} + (i - 1)) * 2654435761) % {PLANE_MOD})
+                   / {float(PLANE_MOD)} - 0.5) * v[i])) > 0
+         THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS INTEGER) AS bucket
+FROM e
+"""

@@ -1,0 +1,168 @@
+"""Text-analysis operators for the large-scale training-data pipeline:
+tokenization, quality stats, language guess, token frequencies, and
+document fingerprinting.
+
+All computed with JVM-side column expressions (whole-stage codegen —
+no Python in the hot path). Tokenization is the shared primitive the
+dedup/simhash operators build on; every op is mirrored in ANSI SQL for
+the DuckDB oracle (__spark_entry__.py).
+
+Cross-engine determinism rules used throughout this package:
+- hashes: md5 hex (identical in Spark / DuckDB / hashlib); numeric
+  hash = first 7 hex digits as int (28 bits — products with 30-bit
+  constants stay in int64)
+- ratios: int/int double division only (IEEE-exact both engines)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword vote tables (the corpus vocabulary is synthetic; these
+# exercise the ratio machinery, not linguistics).
+STOPWORDS_EN = ("a", "the", "of", "and", "is")
+
+HASH_MOD = 1 << 28  # 28-bit token/shingle hash space
+
+
+def tokens_col(text_col):
+    """lower → split on whitespace → drop empties. JVM-side."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def hash28(col):
+    """28-bit integer hash of a string: first 7 hex digits of md5.
+    Mirror: CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token counts, stopword ratio, crude language guess.
+
+    documents(doc_id, text, ...) -> (doc_id, n_tokens, n_uniq,
+    stop_ratio, lang_guess).
+    """
+    toks = tokens_col(F.col("text"))
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(stop).cast("double") / n_tokens.cast("double")
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(stop_ratio > 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Corpus-wide token frequency: (token, n). Map-side partial agg +
+    one shuffle on token — the canonical word-count plan."""
+    return (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): one row per distinct text
+    with the surviving representative (min doc_id) and group size."""
+    return (
+        documents.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Whitespace-normalized content fingerprint: md5 of the tokens
+    re-joined with single spaces — invariant to runs of whitespace."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("fingerprint"),
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 28) -> DataFrame:
+    """SimHash near-dup signature over the distinct-token set.
+
+    Per bit i: count tokens whose hash has bit i set; majority → bit
+    set in the signature. Bit extraction uses floor(h / 2^i) % 2 —
+    exact integer arithmetic in the double domain (h < 2^28), identical
+    in the SQL mirror. Output: (doc_id, simhash: long).
+    """
+    hs = F.transform(F.array_distinct(tokens_col(F.col("text"))), hash28)
+    n = F.size(hs)
+
+    def bit_term(acc, i):
+        setcnt = F.size(
+            F.filter(
+                hs,
+                lambda h: (
+                    F.floor(h.cast("double") / F.pow(F.lit(2.0), i.cast("double"))).cast("long")
+                    % 2
+                )
+                == 1,
+            )
+        )
+        return acc + F.when(
+            2 * setcnt > n, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)), F.lit(0).cast("long"), bit_term
+    )
+    return documents.select("doc_id", sig.alias("simhash"))
+
+
+# --- SQL mirrors ------------------------------------------------------------
+
+SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+)
+SQL_HASH28 = "CAST('0x' || substr(md5({x}), 1, 7) AS BIGINT)"
+
+SQL_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+       CAST(len(list_filter(toks, t -> t IN {STOPWORDS_EN})) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       CASE WHEN CAST(len(list_filter(toks, t -> t IN {STOPWORDS_EN})) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) > 0.08
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM t
+"""
+
+SQL_TOKEN_COUNTS = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({SQL_TOKENS}) AS token FROM documents)
+GROUP BY token
+"""
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({SQL_TOKENS}, ' ')) AS fingerprint
+FROM documents
+"""
+
+SQL_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct({SQL_TOKENS}),
+                        x -> {SQL_HASH28.format(x='x')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 28), i ->
+         CASE WHEN 2 * len(list_filter(hs, h -> (h >> i) & 1 = 1)) > len(hs)
+              THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS simhash
+FROM t
+"""

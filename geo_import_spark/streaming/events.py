@@ -1,0 +1,99 @@
+"""Event-stream operators (batch plans that are Structured-Streaming
+ready: the same groupBy(window(...)) works under readStream with a
+watermark — SURVEY.md §2.6 decision).
+
+Aggregated money/measure values use integer micro-units
+(floor(value * 1e6) as long) so distributed summation is exact and
+engine-portable — double sums depend on reduction order and cannot be
+value-hash-compared across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-type counts + exact micro-unit sums.
+
+    events(event_id, ts, user_id, event_type, value, props) ->
+    (event_type, win_start, n, total_micros, n_users).
+
+    Streaming form: `events.withWatermark('ts', '1 hour')` then the
+    identical aggregation.
+    """
+    micros = F.floor(F.col("value") * 1_000_000).cast("long")
+    return (
+        events.groupBy("event_type", F.window("ts", width).alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(micros).alias("total_micros"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("win_start"),
+            "n",
+            "total_micros",
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (window-function form).
+
+    A new session starts when the inter-event gap exceeds the limit.
+    Output: (user_id, session_id, session_start, session_end,
+    n_events). Streaming form would use applyInPandasWithState; the
+    batch plan is two windows over one shuffle keyed by user_id.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(w))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT event_type, date_trunc('hour', ts) AS win_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {gap}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
