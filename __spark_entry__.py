@@ -199,6 +199,51 @@ def _sessionize(spark, sf_dir):
     return eventsmod.sessionize(ev, gap_minutes=30)
 
 
+# --- layer-normalization queries (merger/reprojector parity) ---------------
+
+def _layer_merge(spark, sf_dir):
+    """A1 layer merge: mixed-schema corpus partitioned into layers by
+    (columns, ctypes w/ null-wildcard, crs); label = final columns."""
+    from geo_import_spark.operators import layers as layersmod
+
+    parsed = geojson.geometry_spans(corpus.mixed_documents(spark, sf_dir))
+    assigned, layers = layersmod.merge_layers(parsed)
+    label = {l.layer_idx: ",".join(l.out_names[1:]) for l in layers}
+    mapping = F.create_map(
+        *[x for kv in label.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    return assigned.select(
+        "doc_id", mapping[F.col("layer_idx")].alias("layer_label")
+    )
+
+
+def _layer_norm(spark, sf_dir):
+    """A2 type refinement + P6/P7 naming: the refined (a_string, a_num)
+    layer's normalized rows (null-typed a_num rows included)."""
+    from geo_import_spark.operators import layers as layersmod
+
+    parsed = geojson.geometry_spans(corpus.mixed_documents(spark, sf_dir))
+    assigned, layers = layersmod.merge_layers(parsed)
+    target = next(l for l in layers if l.out_names[1:] == ["a_string", "a_num"])
+    return layersmod.normalize_layer(assigned, target).select(
+        "doc_id", "a_string", "a_num"
+    )
+
+
+def _reproject_3857(spark, sf_dir):
+    """G1 reprojection: EPSG:3857 corpus -> WGS84 via the pass-2
+    fix+reproject pandas UDF."""
+    from geo_import_spark.operators import reproject as reprojmod
+
+    parsed = geojson.geometry_spans(corpus.mercator_documents(spark, sf_dir))
+    rep = reprojmod.reproject_layers(parsed)
+    return rep.select(
+        "doc_id",
+        F.col("geom.xs")[0].alias("lon"),
+        F.col("geom.ys")[0].alias("lat"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -235,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "events_window": _events_window,
         "sessionize": _sessionize,
+        "layer_merge": _layer_merge,
+        "layer_norm": _layer_norm,
+        "reproject_3857": _reproject_3857,
     }
 
 
@@ -299,8 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "parse_points": f"""
             WITH {_PTS}
             SELECT doc_id, CAST(1 AS INTEGER) AS span_offset, lon, lat,
-                   '{{"a_num":' || CAST(CAST(a_num AS BIGINT) AS VARCHAR)
-                     || ',"a_string":"' || a_string || '"}}' AS properties,
+                   '{{"a_string":"' || a_string || '","a_num":'
+                     || CAST(CAST(a_num AS BIGINT) AS VARCHAR) || '}}' AS properties,
                    'urn:ogc:def:crs:OGC:1.3:CRS84' AS crs
             FROM pts
         """,
@@ -356,4 +404,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_window": eventsmod.SQL_WINDOWED_COUNTS,
         "sessionize": eventsmod.SQL_SESSIONIZE.format(gap=30 * 60),
+        "layer_merge": corpus.SQL_LAYER_LABELS,
+        "layer_norm": corpus.SQL_LAYER_NORM,
+        "reproject_3857": corpus.SQL_REPROJECT_3857,
     }

@@ -212,3 +212,98 @@ SELECT 'q-' || CAST(c_custkey AS VARCHAR) AS query_id,
        ((c_custkey * 1779033703 + 7) % 170000000) / 1000000.0 - 85.0 AS qlat
 FROM customer
 """
+
+
+def mixed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-schema geometry corpus for the layer-merge operator:
+    4 property schemas cycled by o_orderkey % 4 —
+      r=1: {a_string, a_num, extra}   r=2: {b_string}
+      r=3: {a_string, a_num: null}    r=0: {a_string, a_num}
+    The r=3 null-typed rows land in the same layer as r=0 via the
+    null-wildcard match + refinement (layer.js:135-154, 214-236).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    lon = _point_lon(k)
+    lat = _point_lat(k)
+    r = k % 4
+    props = (
+        F.when(r == 1, F.concat(
+            F.lit('{"a_string":"'), F.col("o_orderstatus"),
+            F.lit('","a_num":'), F.col("o_custkey").cast("string"),
+            F.lit(',"extra":'), (F.col("o_custkey") + 1).cast("string"), F.lit("}")))
+        .when(r == 2, F.concat(
+            F.lit('{"b_string":"'), F.col("o_orderpriority"), F.lit('"}')))
+        .when(r == 3, F.concat(
+            F.lit('{"a_string":"'), F.col("o_orderstatus"),
+            F.lit('","a_num":null}')))
+        .otherwise(F.concat(
+            F.lit('{"a_string":"'), F.col("o_orderstatus"),
+            F.lit('","a_num":'), F.col("o_custkey").cast("string"), F.lit("}")))
+    )
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        lon.cast("string"), F.lit(","), lat.cast("string"),
+        F.lit(']},"properties":'), props, F.lit("}"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("geometry").alias("kind"), feature.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+        )
+    )
+    return orders.select(
+        F.concat(F.lit("doc-"), k.cast("string")).alias("doc_id"), spans.alias("spans")
+    )
+
+
+def mercator_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry corpus in EPSG:3857 meters (per-feature crs tag) for
+    the reprojection operator — Web-Mercator inverse is closed-form,
+    so the DuckDB oracle recomputes WGS84 output exactly."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    mx = ((k * 2654435761) % 35990000000) / 1000.0 - 17995000.0
+    my = ((k * 1779033703 + 999) % 39970000000) / 1000.0 - 19985000.0
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        mx.cast("string"), F.lit(","), my.cast("string"),
+        F.lit(']},"properties":{"a_string":"'), F.col("o_orderstatus"),
+        F.lit('"},"crs":{"type":"name","properties":{"name":"EPSG:3857"}}}'),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("geometry").alias("kind"), feature.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+        )
+    )
+    return orders.select(
+        F.concat(F.lit("doc-"), k.cast("string")).alias("doc_id"), spans.alias("spans")
+    )
+
+
+SQL_LAYER_LABELS = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       CASE o_orderkey % 4
+         WHEN 1 THEN 'a_string,a_num,extra'
+         WHEN 2 THEN 'b_string'
+         ELSE 'a_string,a_num' END AS layer_label
+FROM orders
+"""
+
+SQL_LAYER_NORM = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       o_orderstatus AS a_string,
+       CASE WHEN o_orderkey % 4 = 3 THEN NULL
+            ELSE CAST(o_custkey AS DOUBLE) END AS a_num
+FROM orders WHERE o_orderkey % 4 IN (0, 3)
+"""
+
+SQL_REPROJECT_3857 = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       degrees((((o_orderkey * 2654435761) % 35990000000) / 1000.0 - 17995000.0)
+               / 6378137.0) AS lon,
+       degrees(2.0 * atan(exp((((o_orderkey * 1779033703 + 999) % 39970000000)
+               / 1000.0 - 19985000.0) / 6378137.0)) - pi() / 2.0) AS lat
+FROM orders
+"""

@@ -33,18 +33,47 @@ GEOM_TYPE = T.StructType(
     ]
 )
 
+PROPS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.StringType()),  # display string; None for null
+            T.StructField("ctype", T.StringType()),  # string|number|boolean|null|array
+        ]
+    )
+)
+
 PARSED_FEATURE_TYPE = T.StructType(
     [
         T.StructField("geom", GEOM_TYPE),
-        T.StructField("properties", T.StringType()),  # canonical JSON
+        T.StructField("properties", T.StringType()),  # canonical JSON (insertion order)
+        T.StructField("props", PROPS_TYPE),  # ordered typed columns (layer merge)
         T.StructField("crs", T.StringType()),
         T.StructField("error", T.StringType()),  # error side-channel (G2 arity etc.)
     ]
 )
 
 
+def typed_props(props: dict) -> list[tuple]:
+    """JS-typeof property typing (transform.js:32-37) in insertion
+    order, value rendered as a plain display string."""
+    out = []
+    for k, v in props.items():
+        if v is None:
+            out.append((k, None, "null"))
+        elif isinstance(v, bool):
+            out.append((k, "true" if v else "false", "boolean"))
+        elif isinstance(v, (int, float)):
+            out.append((k, repr(float(v)), "number"))
+        elif isinstance(v, list):
+            out.append((k, json.dumps(v), "array"))
+        else:
+            out.append((k, str(v), "string"))
+    return out
+
+
 def _parse_one(txt: str, default_crs: str):
-    """One GeoJSON Feature (or bare geometry) -> row dict.
+    """One GeoJSON Feature (or bare geometry) -> row tuple.
 
     Validation mirrors transform.js:12-29: missing/invalid type,
     missing geometry, linked (href) CRS -> error row."""
@@ -52,9 +81,9 @@ def _parse_one(txt: str, default_crs: str):
     try:
         obj = json.loads(txt)
     except (ValueError, TypeError) as e:
-        return (empty_geom, None, default_crs, f"malformed json: {e}")
+        return (empty_geom, None, None, default_crs, f"malformed json: {e}")
     if not isinstance(obj, dict):
-        return (empty_geom, None, default_crs, "feature is not an object")
+        return (empty_geom, None, None, default_crs, "feature is not an object")
     if obj.get("type") == "Feature":
         geometry = obj.get("geometry")
         props = obj.get("properties") or {}
@@ -62,25 +91,26 @@ def _parse_one(txt: str, default_crs: str):
     elif obj.get("type") in geomkern.GEOM_TYPES:
         geometry, props, crs_obj = obj, {}, None
     else:
-        return (empty_geom, None, default_crs, f"invalid type {obj.get('type')!r}")
+        return (empty_geom, None, None, default_crs, f"invalid type {obj.get('type')!r}")
     crs = default_crs
     if isinstance(crs_obj, dict):
         if crs_obj.get("type") == "link" or "href" in (crs_obj.get("properties") or {}):
-            return (empty_geom, None, default_crs, "linked CRS not supported")
+            return (empty_geom, None, None, default_crs, "linked CRS not supported")
         crs = (crs_obj.get("properties") or {}).get("name", default_crs)
-    props_json = json.dumps(props, sort_keys=True, separators=(",", ":"))
+    props_json = json.dumps(props, separators=(",", ":"))
+    tp = typed_props(props)
     if geometry is None:
-        return (None, props_json, crs, None)  # null geometry -> SoQLNull (P4)
+        return (None, props_json, tp, crs, None)  # null geometry -> SoQLNull (P4)
     gtype = geometry.get("type")
     if gtype not in geomkern.GEOM_TYPES:
-        return (empty_geom, props_json, crs, f"invalid geometry type {gtype!r}")
+        return (empty_geom, props_json, tp, crs, f"invalid geometry type {gtype!r}")
     try:
         po, ro, xs, ys = geomkern.flatten_geojson_coords(gtype, geometry.get("coordinates"))
     except ValueError as e:
-        return (empty_geom, props_json, crs, str(e))
+        return (empty_geom, props_json, tp, crs, str(e))
     if sum(ro[i + 1] - ro[i] for i in range(len(ro) - 1)) > geomkern.MAX_VERTICES_PER_ROW:
-        return (empty_geom, props_json, crs, "too many vertices")
-    return ((gtype, po, ro, xs, ys), props_json, crs, None)
+        return (empty_geom, props_json, tp, crs, "too many vertices")
+    return ((gtype, po, ro, xs, ys), props_json, tp, crs, None)
 
 
 @pandas_udf(PARSED_FEATURE_TYPE)
@@ -90,8 +120,9 @@ def parse_feature(texts: pd.Series) -> pd.DataFrame:
         {
             "geom": [r[0] for r in rows],
             "properties": [r[1] for r in rows],
-            "crs": [r[2] for r in rows],
-            "error": [r[3] for r in rows],
+            "props": [r[2] for r in rows],
+            "crs": [r[3] for r in rows],
+            "error": [r[4] for r in rows],
         }
     )
 
@@ -114,6 +145,7 @@ def geometry_spans(documents: DataFrame) -> DataFrame:
         "span_offset",
         F.col("parsed.geom").alias("geom"),
         F.col("parsed.properties").alias("properties"),
+        F.col("parsed.props").alias("props"),
         F.col("parsed.crs").alias("crs"),
         F.col("parsed.error").alias("error"),
     )
