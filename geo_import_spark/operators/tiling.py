@@ -71,6 +71,29 @@ def assign_tiles(documents: DataFrame, anchors: DataFrame, z: int = 12) -> DataF
     return out
 
 
+def assign_tiles_from_anchors(media: DataFrame, anchors: DataFrame, z: int = 12) -> DataFrame:
+    """Tile-assign media spans against a prepared anchors frame,
+    preserving any extra anchor columns (e.g. the checkpoint `unit`).
+    anchors: (doc_id, lon, lat[, ...]); media: (doc_id, span_offset,
+    media_ref)."""
+    tile_udf = make_tile_udf(z)
+    extra = [c for c in anchors.columns if c not in ("doc_id", "lon", "lat")]
+    return (
+        media.join(anchors, "doc_id")
+        .withColumn("tile", tile_udf("lon", "lat"))
+        .select(
+            "doc_id",
+            "span_offset",
+            "media_ref",
+            F.lit(z).alias("z"),
+            F.col("tile.x").alias("x"),
+            F.col("tile.y").alias("y"),
+            F.col("tile.quadkey").alias("quadkey"),
+            *extra,
+        )
+    )
+
+
 def first_geometry_anchor(points: DataFrame) -> DataFrame:
     """Per-doc anchor = geometry span with the smallest span_offset."""
     from pyspark.sql import Window as W

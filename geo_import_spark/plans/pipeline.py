@@ -1,0 +1,89 @@
+"""The flagship checkpointed job: documents -> parse -> cell index ->
+PIP join -> tile assignment, every stage resumable (north rule: run
+via spark-submit --py-files, killed runs resume from per-partition
+lineage without reprocessing completed cell groups).
+
+Work units are coarse quadtree cells (level UNIT_LEVEL ancestors of
+the point cell) — spatial locality means a unit's re-run touches one
+contiguous Morton range. Stage outputs land in an Iceberg-style
+directory tree under `out_root` with lineage JSONL per stage.
+
+Usage (local sandbox stand-in for a cluster):
+    spark-submit --py-files geo_import_spark.zip run_job.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/pipeline_out
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from geo_import_spark import corpus
+from geo_import_spark.functions import cells as cellmod
+from geo_import_spark.operators import pip as pipmod
+from geo_import_spark.operators import tiling
+from geo_import_spark.plans.checkpoint import CheckpointedStage
+from geo_import_spark.sources import geojson
+
+UNIT_LEVEL = 3  # 8x8 world grid -> at most 64 work units per stage
+POINT_LEVEL = 13
+
+
+def _unit_col():
+    """Ancestor cell at UNIT_LEVEL from lon/lat, as an int column
+    (pandas UDF reuses the point-cell kernel)."""
+    cell_udf = pipmod.make_cell_udf(UNIT_LEVEL)
+    return cell_udf("lon", "lat")
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str) -> dict:
+    summary = {}
+
+    # stage 1: parse geometry spans to typed points, unitized
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs).withColumn("unit", _unit_col())
+    st_points = CheckpointedStage(out_root, "points")
+    summary["points"] = st_points.run(
+        spark, pts, "unit", lambda df: df, input_fingerprint=sf_dir
+    )
+
+    points = st_points.read(spark)
+
+    # stage 2: PIP join against the polygon layer
+    polys = corpus.polygons(spark, sf_dir)
+    st_pip = CheckpointedStage(out_root, "pip")
+
+    def do_pip(df):
+        hits = pipmod.pip_join(
+            df, polys, point_cols=("doc_id", "span_offset", "unit")
+        )
+        return hits
+
+    summary["pip"] = st_pip.run(spark, points, "unit", do_pip, input_fingerprint=sf_dir)
+
+    # stage 3: tile assignment for media spans (anchored at the doc's
+    # first geometry span)
+    st_tiles = CheckpointedStage(out_root, "tiles")
+    anchors = tiling.first_geometry_anchor(points)
+    media = tiling.media_spans(docs)
+
+    def do_tiles(df):
+        # df = anchors slice for pending units; join media spans on doc
+        tiled = tiling.assign_tiles_from_anchors(media, df, z=12)
+        return tiled
+
+    anchors_u = anchors.join(
+        points.select("doc_id", "span_offset", "unit"),
+        ["doc_id"],
+    ).select("doc_id", "lon", "lat", "unit").distinct()
+    summary["tiles"] = st_tiles.run(
+        spark, anchors_u, "unit", do_tiles, input_fingerprint=sf_dir
+    )
+    return summary
+
+
+def pipeline_metrics(out_root: str) -> list[dict]:
+    rows = []
+    for stage in ("points", "pip", "tiles"):
+        rows.extend(CheckpointedStage(out_root, stage).metrics())
+    return rows
