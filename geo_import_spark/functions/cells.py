@@ -1,11 +1,15 @@
-"""Quadtree cell index over WGS84 lon/lat, pure NumPy (vectorized).
+"""Quadtree cell index over WGS84 lon/lat.
 
 S2/H3-style spatial pruning index reimagined for Spark: a cell id is a
-64-bit int packing (level, morton(x, y)) for an equal-angle quadtree on
-the plate-carree plane. Morton (Z-order) interleaving gives spatial
-locality to numeric cell ranges, so ``repartitionByRange('cell_id')``
-co-locates neighboring geometry — the property the reference's
-single-node stream never needed but a 1000-executor shuffle does.
+64-bit int packing (level << 58 | x << 29 | y) for an equal-angle
+quadtree on the plate-carree plane. The packing is plain shifts so the
+POINT side of every join computes its cell id with JVM column
+expressions inside whole-stage codegen (cell_col below) — zero Python
+on the big side. ``morton_key`` provides the Z-order interleave when
+range partitioning wants spatial locality
+(``repartitionByRange(morton_key(cell_id))`` co-locates neighboring
+geometry — the property the reference's single-node stream never
+needed but a 1000-executor shuffle does).
 
 The index is used only for *pruning* (candidate generation before exact
 ray-cast refinement), so hexagon-exact H3 parity is not required; the
@@ -65,10 +69,44 @@ def lonlat_to_xy(lon: np.ndarray, lat: np.ndarray, level: int):
     return x, y
 
 
+XY_SHIFT = np.uint64(29)
+_XY_MASK = np.uint64((1 << 29) - 1)
+
+
 def encode_xy(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
-    """Pack (level, x, y) into an int64 cell id via Morton interleave."""
-    m = _spread_bits(np.asarray(x)) | (_spread_bits(np.asarray(y)) << np.uint64(1))
-    return ((np.uint64(level) << LEVEL_SHIFT) | m).astype(np.int64)
+    """Pack (level, x, y) into an int64 cell id (plain shifts —
+    mirrored by the JVM expression in cell_col)."""
+    xv = np.asarray(x).astype(np.uint64)
+    yv = np.asarray(y).astype(np.uint64)
+    return (
+        (np.uint64(level) << LEVEL_SHIFT) | (xv << XY_SHIFT) | yv
+    ).astype(np.int64)
+
+
+def morton_key(cell: np.ndarray) -> np.ndarray:
+    """Z-order interleave of a cell id's (x, y) — the range-partition
+    key when spatial locality of numeric ranges matters."""
+    x, y, level = cell_decode(cell)
+    m = _spread_bits(x) | (_spread_bits(y) << np.uint64(1))
+    return ((np.asarray(level).astype(np.uint64) << LEVEL_SHIFT) | m).astype(np.int64)
+
+
+def cell_col(lon, lat, level: int):
+    """JVM column expression for the cell id of (lon, lat) at `level`
+    — identical arithmetic to cell_encode, kept inside whole-stage
+    codegen (the point side of the PIP join never leaves the JVM)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << level
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    y = F.floor((90.0 - lat) / 180.0 * n).cast("long")
+    x = F.greatest(F.least(x, F.lit(n - 1)), F.lit(0))
+    y = F.greatest(F.least(y, F.lit(n - 1)), F.lit(0))
+    return (
+        F.lit(level << 58).cast("long")
+        + F.shiftleft(x, 29).cast("long")
+        + y
+    ).alias(f"cell_l{level}")
 
 
 def cell_encode(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
@@ -81,9 +119,8 @@ def cell_decode(cell: np.ndarray):
     """cell id -> (x, y, level)."""
     c = np.asarray(cell).astype(np.uint64)
     level = (c >> LEVEL_SHIFT).astype(np.int64)
-    m = c & ((np.uint64(1) << LEVEL_SHIFT) - np.uint64(1))
-    x = _compact_bits(m).astype(np.int64)
-    y = _compact_bits(m >> np.uint64(1)).astype(np.int64)
+    x = ((c >> XY_SHIFT) & _XY_MASK).astype(np.int64)
+    y = (c & _XY_MASK).astype(np.int64)
     return x, y, level
 
 

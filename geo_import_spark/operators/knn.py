@@ -24,7 +24,6 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from geo_import_spark.functions import cells as cellmod
-from geo_import_spark.operators.pip import make_cell_udf
 
 EARTH_RADIUS_M = 6371008.8
 
@@ -59,8 +58,9 @@ def knn_join(
     """queries(query_id, qlon, qlat) x points(point_key, lon, lat)
     -> (query_id, point_key, rank, dist) exact k nearest neighbors.
     """
-    cell_udf = make_cell_udf(level)
-    pts = points.select(point_key, "lon", "lat").withColumn("cell_id", cell_udf("lon", "lat"))
+    pts = points.select(point_key, "lon", "lat").withColumn(
+        "cell_id", cellmod.cell_col(F.col("lon"), F.col("lat"), level)
+    )
     pts.cache()
     sy = 180.0 / (1 << level)  # cell height in degrees (the tighter axis)
 

@@ -103,7 +103,9 @@ def pip_contains(
 
 
 def polygon_covering(polygons: DataFrame, base_level: int = 13, max_cells: int = 64) -> DataFrame:
-    """polygons(poly_id, geom) -> (poly_id, cell_id, level) exploded cover."""
+    """polygons(poly_id, geom) -> (poly_id, cell_id, level, bbox)
+    exploded cover. The bbox rides along so the join can prune
+    candidates JVM-side before the exact ray cast."""
     covering_udf = make_covering_udf(base_level, max_cells)
     boxed = polygons.select(
         "poly_id",
@@ -113,7 +115,10 @@ def polygon_covering(polygons: DataFrame, base_level: int = 13, max_cells: int =
         F.array_max("geom.ys").alias("maxy"),
     ).withColumn("cover", covering_udf("minx", "miny", "maxx", "maxy"))
     return boxed.select(
-        "poly_id", F.col("cover.level").alias("level"), F.explode("cover.cells").alias("cell_id")
+        "poly_id",
+        "minx", "miny", "maxx", "maxy",
+        F.col("cover.level").alias("level"),
+        F.explode("cover.cells").alias("cell_id"),
     )
 
 
@@ -129,19 +134,20 @@ def pip_join(
     (point, polygon) containment. `points` needs lon/lat; `polygons`
     needs poly_id + flat geom."""
     spark = points.sparkSession
-    cover = polygon_covering(polygons, base_level, max_cells)
+    # Cover is reused for the levels probe AND the join — persist so the
+    # covering UDF runs once over the (small) polygon side.
+    cover = polygon_covering(polygons, base_level, max_cells).persist()
     levels = [r["level"] for r in cover.select("level").distinct().collect()]
     if not levels:
         return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
 
+    # Point side stays 100% JVM (cells.cell_col — whole-stage codegen):
+    # one scan, explode over the distinct cover levels (usually 2-4).
     pts = points.select(*point_cols, "lon", "lat")
-    per_level = []
-    for lv in levels:
-        cell_udf = make_cell_udf(lv)
-        per_level.append(pts.withColumn("cell_id", cell_udf("lon", "lat")))
-    pts_cells = per_level[0]
-    for other in per_level[1:]:
-        pts_cells = pts_cells.unionByName(other)
+    pts_cells = pts.withColumn(
+        "cell_id",
+        F.explode(F.array(*[cellmod.cell_col(F.col("lon"), F.col("lat"), lv) for lv in levels])),
+    )
 
     if salt_factor and salt_factor > 1:
         s = salt_factor
@@ -154,7 +160,17 @@ def pip_join(
     else:
         join_keys = ["cell_id"]
 
-    cand = pts_cells.join(cover, join_keys).select(*point_cols, "lon", "lat", "poly_id")
+    # JVM-side bbox pre-filter kills most false candidates inside
+    # whole-stage codegen; only bbox-passing pairs reach the Python
+    # ray cast (for convex/rectangular polygons that's ~the hit set).
+    cand = (
+        pts_cells.join(cover, join_keys)
+        .filter(
+            (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+            & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
+        )
+        .select(*point_cols, "lon", "lat", "poly_id")
+    )
     polys_geom = polygons.select(
         "poly_id",
         F.col("geom.ring_offsets").alias("ring_offsets"),

@@ -30,10 +30,10 @@ POINT_LEVEL = 13
 
 
 def _unit_col():
-    """Ancestor cell at UNIT_LEVEL from lon/lat, as an int column
-    (pandas UDF reuses the point-cell kernel)."""
-    cell_udf = pipmod.make_cell_udf(UNIT_LEVEL)
-    return cell_udf("lon", "lat")
+    """Ancestor cell at UNIT_LEVEL from lon/lat — JVM expression."""
+    from geo_import_spark.functions import cells as cellmod
+
+    return cellmod.cell_col(F.col("lon"), F.col("lat"), UNIT_LEVEL)
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str) -> dict:

@@ -151,17 +151,38 @@ def geometry_spans(documents: DataFrame) -> DataFrame:
     )
 
 
+POINT_FEATURE_SCHEMA = (
+    "struct<type:string, geometry:struct<type:string, coordinates:array<double>>, "
+    "crs:struct<properties:struct<name:string>>>"
+)
+
+
 def point_spans(documents: DataFrame) -> DataFrame:
     """Geometry spans narrowed to Points as plain (lon, lat) doubles —
-    the JVM-native hot-path representation for the PIP/kNN/tiling joins."""
-    g = geometry_spans(documents).filter(
-        F.col("error").isNull() & (F.col("geom.gtype") == "Point")
+    the hot-path representation for the PIP/kNN/tiling joins.
+
+    Parsed 100% JVM-side (from_json / get_json_object inside
+    whole-stage codegen): at 10^12-document scale the Python decoder
+    would dominate the job; the generic pandas-UDF decoder
+    (geometry_spans) remains the layer-normalization path where the
+    full type machinery is needed."""
+    s = documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).filter(F.col("span.kind") == "geometry")
+    f = s.select(
+        "doc_id",
+        F.col("span.offset").alias("span_offset"),
+        F.from_json(F.col("span.text"), POINT_FEATURE_SCHEMA).alias("f"),
+        F.get_json_object(F.col("span.text"), "$.properties").alias("properties"),
     )
-    return g.select(
+    return f.filter(
+        (F.col("f.type") == "Feature") & (F.col("f.geometry.type") == "Point")
+        & (F.size("f.geometry.coordinates") == 2)
+    ).select(
         "doc_id",
         "span_offset",
-        F.col("geom.xs")[0].alias("lon"),
-        F.col("geom.ys")[0].alias("lat"),
+        F.col("f.geometry.coordinates")[0].alias("lon"),
+        F.col("f.geometry.coordinates")[1].alias("lat"),
         "properties",
-        "crs",
+        F.coalesce(F.col("f.crs.properties.name"), F.lit(DEFAULT_CRS)).alias("crs"),
     )

@@ -246,8 +246,9 @@ def _features_udf_types():
     return T.ArrayType(feature)
 
 
-def _row_to_feature(row: dict):
-    """Parsed KML feature dict -> the unified PARSED_FEATURE tuple."""
+def _row_to_feature(row: dict, crs: str = KML_CRS):
+    """Parsed feature dict -> the unified PARSED_FEATURE tuple.
+    (Shared by the KML/KMZ and shapefile sources.)"""
     import json as _json
 
     from geo_import_spark.functions import geomkern
@@ -270,14 +271,14 @@ def _row_to_feature(row: dict):
             obj[name] = value
     props_json = _json.dumps(obj, separators=(",", ":"))
     if geom is None:
-        return (None, props_json, props, KML_CRS, None)
+        return (None, props_json, props, crs, None)
     try:
         po, ro, xs, ys = geomkern.flatten_geojson_coords(
             geom["type"], geom["coordinates"]
         )
     except ValueError as e:
-        return (None, props_json, props, KML_CRS, str(e))
-    return ((geom["type"], po, ro, xs, ys), props_json, props, KML_CRS, None)
+        return (None, props_json, props, crs, str(e))
+    return ((geom["type"], po, ro, xs, ys), props_json, props, crs, None)
 
 
 def make_kml_features_udf(kmz: bool = False):

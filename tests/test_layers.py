@@ -275,3 +275,62 @@ def test_summary_shape(spark):
     assert [c["dataTypeName"] for c in s[0]["columns"]] == [
         "point", "text", "number", "number", "checkbox",
     ]
+
+
+def test_shapefile_goldens():
+    """unit/shapefile.js:124-172 goldens: values + geometry promotion."""
+    from geo_import_spark.sources import shapefile as shpmod
+
+    rows = shpmod.parse_shapefile_zip(open(f"{FIX}/simple_points.zip", "rb").read())
+    assert len(rows) == 2
+    assert rows[0]["geom"] == {"type": "Point", "coordinates": [102.0, 0.5]}
+    assert rows[0]["properties"] == [
+        ("a_string", "first value", "string"),
+        ("a_num", 2.0, "number"),
+        ("a_float", 2.2, "number"),
+        ("a_bool", 0.0, "number"),  # dbf stores booleans as numerics here
+    ]
+    lines = shpmod.parse_shapefile_zip(open(f"{FIX}/simple_lines.zip", "rb").read())
+    assert lines[0]["geom"]["type"] == "MultiLineString"  # promotion G5
+    polys = shpmod.parse_shapefile_zip(open(f"{FIX}/simple_polygons.zip", "rb").read())
+    assert polys[0]["geom"]["type"] == "MultiPolygon"
+
+
+def test_shapefile_missing_parts_error():
+    from geo_import_spark.sources import shapefile as shpmod
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing .dbf"):
+        shpmod.parse_shapefile_zip(open(f"{FIX}/missing_dbf.zip", "rb").read())
+    with _pytest.raises(ValueError, match="missing .shp"):
+        shpmod.parse_shapefile_zip(open(f"{FIX}/missing_shp.zip", "rb").read())
+
+
+def test_shapefile_through_spark(spark):
+    """Shapefile zip span -> pandas UDF -> layer merge pipeline."""
+    import base64
+
+    from geo_import_spark.sources import shapefile as shpmod
+
+    b64 = base64.b64encode(open(f"{FIX}/simple_points.zip", "rb").read()).decode()
+    docs = spark.createDataFrame(
+        [("doc-0", [("geometry", b64, "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    parse = shpmod.make_shapefile_features_udf()
+    s = docs.select("doc_id", F.explode("spans").alias("span"))
+    g = s.select(
+        "doc_id", F.col("span.offset").alias("span_offset"),
+        F.explode(parse(F.col("span.text"))).alias("f"),
+    ).select(
+        "doc_id", "span_offset",
+        F.col("f.geom").alias("geom"), F.col("f.properties").alias("properties"),
+        F.col("f.props").alias("props"), F.col("f.crs").alias("crs"),
+        F.col("f.error").alias("error"),
+    )
+    assigned, layers = layersmod.merge_layers(g)
+    assert len(layers) == 1
+    assert layers[0].geom_ctype == "point"
+    out = layersmod.normalize_layer(assigned, layers[0]).orderBy("a_string").collect()
+    assert [r["a_string"] for r in out] == ["first value", "second value"]
+    assert [r["a_num"] for r in out] == [2.0, 2.0]
