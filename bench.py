@@ -198,7 +198,7 @@ def main() -> None:
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
         ]
-        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
+        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "64"))
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
         prep_dir = prepare_scaling_input(sf_dir, rep)
         # Interleave the levels across rounds and take the median per

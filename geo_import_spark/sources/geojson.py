@@ -68,7 +68,10 @@ def typed_props(props: dict) -> list[tuple]:
         elif isinstance(v, list):
             out.append((k, json.dumps(v), "array"))
         else:
-            out.append((k, str(v), "string"))
+            sv = str(v)
+            if sv == "\u0000":  # SoQLText NUL coercion, soql/text.js:13
+                sv = ""
+            out.append((k, sv, "string"))
     return out
 
 

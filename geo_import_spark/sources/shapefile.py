@@ -122,7 +122,7 @@ def parse_dbf(data: bytes) -> list[list[tuple]]:
         for name, ftype, length in fields:
             raw = rec[off : off + length].decode("latin-1")
             off += length
-            s = raw.strip()
+            s = raw.strip().strip("\x00")  # NUL-padded text (soql/text.js:13)
             if ftype in ("N", "F"):
                 if s == "":
                     row.append((name, None, "null"))

@@ -334,3 +334,35 @@ def test_shapefile_through_spark(spark):
     out = layersmod.normalize_layer(assigned, layers[0]).orderBy("a_string").collect()
     assert [r["a_string"] for r in out] == ["first value", "second value"]
     assert [r["a_num"] for r in out] == [2.0, 2.0]
+
+
+def test_decoder_dispatch(spark):
+    """S5 dispatch: per-document format tag routes to the right
+    decoder; all formats union into one parsed frame."""
+    import base64
+
+    from geo_import_spark.sources import dispatch
+
+    assert dispatch.format_for_extension("foo.KML") == "kml"
+    assert dispatch.format_for_extension("a.zip") == "shapefile"
+    assert dispatch.format_for_content_type("application/vnd.geo+json") == "geojson"
+    gj = '{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"a":"x"}}'
+    kml_text = open(f"{FIX}/simple_points.kml").read()
+    shp_b64 = base64.b64encode(open(f"{FIX}/simple_points.zip", "rb").read()).decode()
+    kmz_b64 = base64.b64encode(open(f"{FIX}/multi_layer.kmz", "rb").read()).decode()
+    span = lambda t: [("geometry", t, "", 0)]  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            ("d-gj", span(gj), "geojson"),
+            ("d-kml", span(kml_text), "kml"),
+            ("d-shp", span(shp_b64), "shapefile"),
+            ("d-kmz", span(kmz_b64), "kmz"),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, format string",
+    )
+    out = dispatch.decode_geometry_spans(docs)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"d-gj": 1, "d-kml": 2, "d-shp": 2, "d-kmz": 28}
