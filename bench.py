@@ -138,8 +138,13 @@ def run_scaling_worker(cpus: int, prep_dir: str) -> dict:
     from geo_import_spark.session import get_spark
 
     spark = get_spark(cpus=cpus, app=f"geo-import-scale-{cpus}")
+    from geo_import_spark.functions import cells as cellmod
+
     pts = spark.read.parquet(os.path.join(prep_dir, "points"))
-    pts = pts.repartition(cpus * 4).cache()
+    # Z-order range partitioning: partitions are contiguous map regions
+    # sized by the observed density (range sampling) — co-locates the
+    # cell join's keys within partitions.
+    pts = cellmod.spatial_repartition(pts, cpus * 4).cache()
     n_pts = pts.count()  # cache materialization, untimed
     media = spark.read.parquet(os.path.join(prep_dir, "media")).cache()
     media.count()

@@ -176,3 +176,47 @@ def parent_at(cell: np.ndarray, level: int) -> np.ndarray:
     x, y, lv = cell_decode(cell)
     shift = (lv - level).astype(np.int64)
     return encode_xy(x >> shift, y >> shift, level)
+
+
+def morton_col(lon, lat, level: int):
+    """JVM column expression: Z-order (Morton) key of (lon, lat) at
+    `level` — 5 shift-mask spread steps per axis, all inside
+    whole-stage codegen. Use as the sort key of
+    ``repartitionByRange``: contiguous key ranges are contiguous
+    regions of the map, so range partitions are spatial partitions
+    (the explicit "adaptive repartitioning" strategy of SURVEY
+    §4.2.3 — partition bounds adapt to the data's spatial density
+    via Spark's range sampling)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << level
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    y = F.floor((90.0 - lat) / 180.0 * n).cast("long")
+    x = F.greatest(F.least(x, F.lit(n - 1)), F.lit(0))
+    y = F.greatest(F.least(y, F.lit(n - 1)), F.lit(0))
+
+    def spread(v):
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1)).alias(f"morton_l{level}")
+
+
+def spatial_repartition(df, num_partitions: int, level: int = 13,
+                        lon_col: str = "lon", lat_col: str = "lat"):
+    """Range-repartition a point DataFrame by Morton key: neighboring
+    geometry lands in the same partition, partition bounds follow the
+    observed density (Spark samples the key distribution), and
+    downstream per-partition work (cell joins, per-unit checkpoints)
+    touches contiguous map regions."""
+    from pyspark.sql import functions as F
+
+    key = morton_col(F.col(lon_col), F.col(lat_col), level)
+    return df.repartitionByRange(num_partitions, key)

@@ -194,3 +194,25 @@ def test_batch_pip_matches_scalar_oracle(ring_pts, px, py):
         np.array(ro), np.array(xs), np.array(ys),
     )
     assert res[0] == _pip_single(px, py, [ring[:-1]])
+
+
+def test_jvm_morton_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geo_import_spark.functions import cells as C
+
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-85, 85, 300)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got = np.sort(
+        df.select(C.morton_col(F.col("lon"), F.col("lat"), 13).alias("m"))
+        .toPandas()["m"].values
+    )
+    exp = np.sort(C.morton_key(C.cell_encode(lon, lat, 13)) & ((1 << 58) - 1))
+    assert (got == exp).all()
+    rp = C.spatial_repartition(df, 6)
+    assert rp.rdd.getNumPartitions() == 6
+    assert rp.count() == 300
