@@ -238,6 +238,44 @@ def batch_point_in_polygon(
     return (crossings % 2).astype(bool) == 1
 
 
+def points_in_single_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_offsets: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    edge_chunk: int = 512,
+) -> np.ndarray:
+    """Even-odd ray cast of M points against ONE polygon (rings incl.
+    holes). Same crossing arithmetic as batch_point_in_polygon — the
+    two kernels agree bit-for-bit — but the polygon's edge arrays are
+    built ONCE for all M points instead of once per candidate pair
+    (the broadcast PIP-refinement path; memory bounded M x edge_chunk).
+    """
+    m = px.shape[0]
+    if m == 0 or xs.size == 0:
+        return np.zeros(m, dtype=bool)
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    ring_len = ring_offsets[1:] - ring_offsets[:-1]
+    i1 = np.arange(xs.size, dtype=np.int64)
+    i2 = i1 + 1
+    nonempty = ring_len > 0
+    i2[ring_offsets[1:][nonempty] - 1] = ring_offsets[:-1][nonempty]
+    ex1, ey1, ex2, ey2 = xs[i1], ys[i1], xs[i2], ys[i2]
+    crossings = np.zeros(m, dtype=np.int64)
+    ppx = px[:, None]
+    ppy = py[:, None]
+    for a in range(0, xs.size, edge_chunk):
+        b = min(a + edge_chunk, xs.size)
+        e1x, e1y = ex1[a:b][None, :], ey1[a:b][None, :]
+        e2x, e2y = ex2[a:b][None, :], ey2[a:b][None, :]
+        cond = (e1y > ppy) != (e2y > ppy)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            xint = (e2x - e1x) * (ppy - e1y) / (e2y - e1y) + e1x
+        crossings += np.sum(cond & (ppx < xint), axis=1)
+    return (crossings % 2).astype(bool)
+
+
 def vertex_counts(row_offsets: np.ndarray) -> np.ndarray:
     """Per-row vertex count from row offsets (reference soql/*.js
     vertexCount; guard vs maxVerticesPerRow)."""

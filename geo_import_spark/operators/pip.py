@@ -11,12 +11,18 @@ new engine's core physical strategy (§4.2.1-2):
   3. equi-join on cell_id (hash/sort-merge; cell ids are Morton codes so
      range partitioning is spatial partitioning), AQE skew-join as the
      backstop for hot cells, optional explicit salting
-  4. exact even-odd ray-cast refinement in a vectorized pandas UDF
+  4. exact even-odd ray-cast refinement in a vectorized pandas UDF;
+     polygon rings reach the Python workers via sc.broadcast (one copy
+     per executor) and each Arrow batch groups candidates by poly_id,
+     so Python-bridge bytes are O(candidates) + O(polygons) — never
+     O(pairs x vertices)
 
 Scale notes (100 TB): the shuffle key is cell_id — bounded fan-out on
-both sides (points x |levels|, polys x max_cells). Hot cells (a city
-cell holding millions of points) are handled by `salt_factor`:
-points get pmod(hash, s), polygons replicate x s, join key becomes
+both sides (points x |levels|, polys x max_cells). With broadcastable
+polygons (the default) the point side is never shuffled at all. Hot
+cells (a city cell holding millions of points) in the shuffle fallback
+(broadcast_polys=False) are handled by `salt_factor`: points get
+pmod(hash, s), polygons replicate x s, join key becomes
 (cell_id, salt) — an s-way split of every hot cell's hash bucket.
 """
 
@@ -122,6 +128,55 @@ def polygon_covering(polygons: DataFrame, base_level: int = 13, max_cells: int =
     )
 
 
+def make_pip_bcast_udf(rings_bc):
+    """pandas UDF over (lon, lat, poly_id) candidates: polygon rings
+    come from a Spark broadcast (one copy per executor, NOT one copy
+    per candidate pair). Within an Arrow batch, candidates are grouped
+    by poly_id so each polygon's edge arrays are built once."""
+
+    @pandas_udf(T.BooleanType())
+    def contains(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        from geo_import_spark.functions.geomkern import points_in_single_polygon
+
+        n = len(lon)
+        if n == 0:
+            return pd.Series([], dtype=bool)
+        px = lon.values.astype(np.float64)
+        py = lat.values.astype(np.float64)
+        codes, uniques = pd.factorize(poly_id, sort=False)
+        polys = rings_bc.value
+        res = np.zeros(n, dtype=bool)
+        for j, pid in enumerate(uniques):
+            geom = polys.get(pid)
+            if geom is None:
+                continue
+            ro, xs, ys = geom
+            idx = np.nonzero(codes == j)[0]
+            res[idx] = points_in_single_polygon(px[idx], py[idx], ro, xs, ys)
+        return pd.Series(res)
+
+    return contains
+
+
+def _collect_poly_rings(polygons: DataFrame) -> dict:
+    """poly_id -> (ring_offsets, xs, ys) ndarrays, driver-collected
+    (the polygon side is the broadcastable dimension)."""
+    rows = polygons.select(
+        "poly_id",
+        F.col("geom.ring_offsets").alias("ro"),
+        F.col("geom.xs").alias("xs"),
+        F.col("geom.ys").alias("ys"),
+    ).collect()
+    return {
+        r["poly_id"]: (
+            np.asarray(r["ro"], dtype=np.int64),
+            np.asarray(r["xs"], dtype=np.float64),
+            np.asarray(r["ys"], dtype=np.float64),
+        )
+        for r in rows
+    }
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -129,17 +184,38 @@ def pip_join(
     max_cells: int = 64,
     salt_factor: int | None = None,
     point_cols: tuple[str, ...] = ("doc_id", "span_offset"),
+    broadcast_polys: bool = True,
 ) -> DataFrame:
     """Exact PIP join: returns point_cols + poly_id for every
     (point, polygon) containment. `points` needs lon/lat; `polygons`
-    needs poly_id + flat geom."""
+    needs poly_id + flat geom.
+
+    broadcast_polys=True (default): the polygon side — cover cells AND
+    ring coordinates — is collected once and shipped per executor
+    (local-relation broadcast join + sc.broadcast rings). The Python
+    bridge then carries only (lon, lat, poly_id) per candidate: bytes
+    are O(candidates) + O(polygons), never O(pairs x vertices).
+
+    broadcast_polys=False: the at-scale fallback when the polygon side
+    exceeds broadcast budget — shuffle join on cell_id (AQE skew-join /
+    explicit salting) with polygon coords joined per candidate.
+    """
     spark = points.sparkSession
-    # Cover is reused for the levels probe AND the join — persist so the
-    # covering UDF runs once over the (small) polygon side.
-    cover = polygon_covering(polygons, base_level, max_cells).persist()
-    levels = [r["level"] for r in cover.select("level").distinct().collect()]
-    if not levels:
-        return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
+
+    if broadcast_polys:
+        cover_plan = polygon_covering(polygons, base_level, max_cells)
+        cover_rows = cover_plan.collect()
+        if not cover_rows:
+            return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
+        levels = sorted({r["level"] for r in cover_rows})
+        cover = F.broadcast(spark.createDataFrame(cover_rows, cover_plan.schema))
+    else:
+        # Cover is reused for the levels probe AND the join — persist
+        # so the covering UDF runs once over the polygon side.
+        cover = polygon_covering(polygons, base_level, max_cells).persist()
+        levels = [r["level"] for r in cover.select("level").distinct().collect()]
+        if not levels:
+            return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
 
     # Point side stays 100% JVM (cells.cell_col — whole-stage codegen):
     # one scan, explode over the distinct cover levels (usually 2-4).
@@ -171,6 +247,12 @@ def pip_join(
         )
         .select(*point_cols, "lon", "lat", "poly_id")
     )
+
+    if broadcast_polys:
+        rings_bc = spark.sparkContext.broadcast(_collect_poly_rings(polygons))
+        refined = cand.filter(make_pip_bcast_udf(rings_bc)("lon", "lat", "poly_id"))
+        return refined.select(*point_cols, "poly_id")
+
     polys_geom = polygons.select(
         "poly_id",
         F.col("geom.ring_offsets").alias("ring_offsets"),

@@ -113,6 +113,20 @@ def test_pip_salted_equals_unsalted(docs, spark, sf_dir):
     )
 
 
+def test_pip_broadcast_equals_shuffle_path(docs, spark, sf_dir):
+    """The broadcast-rings refinement (default) and the shuffle-join
+    fallback produce identical hit sets."""
+    points = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    a = pipmod.pip_join(points, polys, broadcast_polys=True).toPandas()
+    b = pipmod.pip_join(points, polys, broadcast_polys=False).toPandas()
+    key = ["doc_id", "span_offset", "poly_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_tiles_match_bruteforce(docs, spark, sf_dir, pts_pdf):
     points = geojson.point_spans(docs)
     anchors = tiling.first_geometry_anchor(points)

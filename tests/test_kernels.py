@@ -182,6 +182,37 @@ def test_batch_pip_square_with_hole():
     assert list(res) == [True, False, False]
 
 
+def test_single_polygon_kernel_matches_batch_kernel():
+    """points_in_single_polygon (broadcast refinement path) agrees
+    bit-for-bit with batch_point_in_polygon (shuffle path), incl. on
+    holes and tiny edge chunks."""
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]]
+    po, ro, xs, ys = geomkern.flatten_geojson_coords("Polygon", [outer, hole])
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-2, 12, 200)
+    py = rng.uniform(-2, 12, 200)
+    single = geomkern.points_in_single_polygon(
+        px, py, np.array(ro), np.array(xs), np.array(ys), edge_chunk=3
+    )
+    n = len(px)
+    nrings = len(ro) - 1
+    ring_row = np.repeat(np.arange(n), nrings)
+    ring_offsets = [0]
+    all_xs, all_ys = [], []
+    for _ in range(n):
+        for r in range(nrings):
+            a, b = ro[r], ro[r + 1]
+            all_xs += list(xs[a:b])
+            all_ys += list(ys[a:b])
+            ring_offsets.append(len(all_xs))
+    batch = geomkern.batch_point_in_polygon(
+        px, py, ring_row, np.array(ring_offsets), np.array(all_xs), np.array(all_ys)
+    )
+    np.testing.assert_array_equal(single, batch)
+    assert single.sum() > 0 and (~single).sum() > 0
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)), min_size=3, max_size=8),
        st.floats(-60, 60), st.floats(-60, 60))
