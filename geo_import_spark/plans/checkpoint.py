@@ -95,6 +95,10 @@ class CheckpointedStage:
             .collect()
         }
         wall = time.time() - t0
+        # All pending units share ONE Spark job/timer; per-unit wall is
+        # the amortized share, with the batch total carried alongside
+        # (recording the batch wall per unit would overstate cost x
+        # len(pending) in the metrics table).
         for u in pending:
             self._record(
                 {
@@ -102,7 +106,9 @@ class CheckpointedStage:
                     "unit": u,
                     "status": "done",
                     "rows": counts.get(u, 0),
-                    "wall_s": round(wall, 3),
+                    "wall_s": round(wall / len(pending), 3),
+                    "batch_wall_s": round(wall, 3),
+                    "batch_units": len(pending),
                     "input_fingerprint": input_fingerprint,
                     "ts": time.time(),
                 }

@@ -36,11 +36,17 @@ def _unit_col():
     return cellmod.cell_col(F.col("lon"), F.col("lat"), UNIT_LEVEL)
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str) -> dict:
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    docs_df=None,
+    polys_df=None,
+) -> dict:
     summary = {}
 
     # stage 1: parse geometry spans to typed points, unitized
-    docs = corpus.documents(spark, sf_dir)
+    docs = docs_df if docs_df is not None else corpus.documents(spark, sf_dir)
     pts = geojson.point_spans(docs).withColumn("unit", _unit_col())
     st_points = CheckpointedStage(out_root, "points")
     summary["points"] = st_points.run(
@@ -50,7 +56,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str) -> dict:
     points = st_points.read(spark)
 
     # stage 2: PIP join against the polygon layer
-    polys = corpus.polygons(spark, sf_dir)
+    polys = polys_df if polys_df is not None else corpus.polygons(spark, sf_dir)
     st_pip = CheckpointedStage(out_root, "pip")
 
     def do_pip(df):
@@ -72,10 +78,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str) -> dict:
         tiled = tiling.assign_tiles_from_anchors(media, df, z=12)
         return tiled
 
-    anchors_u = anchors.join(
-        points.select("doc_id", "span_offset", "unit"),
-        ["doc_id"],
-    ).select("doc_id", "lon", "lat", "unit").distinct()
+    # Unit comes from the anchor's OWN lon/lat — joining units in from
+    # points would tag a doc with every geometry span's unit and tile
+    # its media spans once per unit (duplicate rows across units).
+    anchors_u = anchors.withColumn("unit", _unit_col())
     summary["tiles"] = st_tiles.run(
         spark, anchors_u, "unit", do_tiles, input_fingerprint=sf_dir
     )

@@ -60,19 +60,36 @@ class Table:
             files.append({"path": path, "bytes": os.path.getsize(path)})
         return files
 
-    def _file_stats(self, spark: SparkSession, files: list[dict], stat_cols):
+    def _file_stats(self, spark: SparkSession, data_dir: str, files: list[dict], stat_cols):
         """Per-file row counts + min/max column stats (manifest-level
-        pruning metadata, as Iceberg keeps per data file)."""
+        pruning metadata, as Iceberg keeps per data file). ONE Spark
+        job regardless of file count: a single scan of the snapshot's
+        data dir grouped by input_file_name() — never a per-file
+        driver loop (at 100 TB that would be thousands of jobs)."""
+        from urllib.parse import unquote, urlparse
+
         from pyspark.sql import functions as F
 
+        if not files:
+            return files
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in stat_cols or []:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rows = (
+            spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(*aggs)
+            .collect()
+        )
+        by_base = {
+            os.path.basename(unquote(urlparse(r["_file"]).path)): r.asDict()
+            for r in rows
+        }
         for f in files:
-            df = spark.read.parquet(f["path"])
-            aggs = [F.count("*").alias("_rows")]
-            for c in stat_cols or []:
-                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-            row = df.agg(*aggs).collect()[0].asDict()
-            f["rows"] = row.pop("_rows")
-            f["stats"] = {k: v for k, v in row.items()}
+            row = dict(by_base.get(os.path.basename(f["path"]), {}))
+            row.pop("_file", None)
+            f["rows"] = row.pop("_rows", 0)
+            f["stats"] = row
         return files
 
     def commit(
@@ -87,7 +104,7 @@ class Table:
         file set; 'append' adds to the current one."""
         data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.parquet(data_dir)
-        files = self._file_stats(spark, self._collect_files(data_dir), stat_cols)
+        files = self._file_stats(spark, data_dir, self._collect_files(data_dir), stat_cols)
 
         parent = self.current_snapshot()
         if mode == "append" and parent:

@@ -156,7 +156,7 @@ def geometry_spans(documents: DataFrame) -> DataFrame:
 
 POINT_FEATURE_SCHEMA = (
     "struct<type:string, geometry:struct<type:string, coordinates:array<double>>, "
-    "crs:struct<properties:struct<name:string>>>"
+    "coordinates:array<double>, crs:struct<properties:struct<name:string>>>"
 )
 
 
@@ -178,14 +178,24 @@ def point_spans(documents: DataFrame) -> DataFrame:
         F.from_json(F.col("span.text"), POINT_FEATURE_SCHEMA).alias("f"),
         F.get_json_object(F.col("span.text"), "$.properties").alias("properties"),
     )
+    # Accept BOTH Feature-wrapped Points and bare Point geometry spans,
+    # matching the pandas path (geometry_spans/_parse_one) so the two
+    # parse paths agree on which rows exist.
+    coords = F.when(F.col("f.type") == "Feature", F.col("f.geometry.coordinates")).when(
+        F.col("f.type") == "Point", F.col("f.coordinates")
+    )
+    f = f.withColumn("pt", coords)
     return f.filter(
-        (F.col("f.type") == "Feature") & (F.col("f.geometry.type") == "Point")
-        & (F.size("f.geometry.coordinates") == 2)
+        (
+            ((F.col("f.type") == "Feature") & (F.col("f.geometry.type") == "Point"))
+            | (F.col("f.type") == "Point")
+        )
+        & (F.size("pt") == 2)
     ).select(
         "doc_id",
         "span_offset",
-        F.col("f.geometry.coordinates")[0].alias("lon"),
-        F.col("f.geometry.coordinates")[1].alias("lat"),
-        "properties",
+        F.col("pt")[0].alias("lon"),
+        F.col("pt")[1].alias("lat"),
+        F.coalesce(F.col("properties"), F.lit("{}")).alias("properties"),
         F.coalesce(F.col("f.crs.properties.name"), F.lit(DEFAULT_CRS)).alias("crs"),
     )

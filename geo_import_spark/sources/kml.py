@@ -26,7 +26,6 @@ Parity semantics (kml.js):
 from __future__ import annotations
 
 import io
-import math
 import re
 import zipfile
 from xml.etree import ElementTree
@@ -59,14 +58,27 @@ def _decode1(text: str):
     return out
 
 
+_JS_DEC_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
 def _js_number(v: str):
-    """JS Number(v) semantics for the guesser: '' handled earlier;
-    returns None when NaN."""
-    try:
-        n = float(v)
-        return None if math.isnan(n) else n
-    except ValueError:
-        return None
+    """JS Number(v) semantics for the guesser (kml.js:392-396): ''
+    handled earlier; returns None when NaN. Python float() diverges
+    from JS Number() on several literals, so the grammar is validated
+    explicitly: '1_0' is NaN in JS (Python float accepts it), '0x10'
+    is 16 (Python rejects), 'inf'/'nan' spellings are NaN in JS
+    (Python accepts), and hex/binary/octal take no sign."""
+    if v in ("Infinity", "+Infinity", "-Infinity"):
+        return float(v.replace("Infinity", "inf"))
+    if re.fullmatch(r"0[xX][0-9a-fA-F]+", v):
+        return float(int(v, 16))
+    if re.fullmatch(r"0[bB][01]+", v):
+        return float(int(v, 2))
+    if re.fullmatch(r"0[oO][0-7]+", v):
+        return float(int(v, 8))
+    if _JS_DEC_RE.fullmatch(v):
+        return float(v)
+    return None
 
 
 def _guess(value: str):

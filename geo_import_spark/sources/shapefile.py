@@ -96,8 +96,13 @@ def parse_shp(data: bytes) -> list[dict | None]:
     return geoms
 
 
-def parse_dbf(data: bytes) -> list[list[tuple]]:
-    """.dbf bytes -> per-record ordered [(name, value, ctype), ...]."""
+def parse_dbf(data: bytes) -> list[list[tuple] | None]:
+    """.dbf bytes -> per-record ordered [(name, value, ctype), ...].
+
+    Deleted records (b'*' flag) yield None PLACEHOLDERS, never gaps:
+    .shp records are positional, so dropping a deleted DBF row would
+    shift every subsequent record's attributes onto the wrong geometry
+    (silent corruption). Callers skip the (geom, None) pair."""
     n_records = struct.unpack("<I", data[4:8])[0]
     header_size = struct.unpack("<H", data[8:10])[0]
     record_size = struct.unpack("<H", data[10:12])[0]
@@ -115,7 +120,8 @@ def parse_dbf(data: bytes) -> list[list[tuple]]:
     for _ in range(n_records):
         rec = data[pos : pos + record_size]
         pos += record_size
-        if not rec or rec[0:1] == b"*":  # deleted
+        if not rec or rec[0:1] == b"*":  # deleted -> placeholder
+            out.append(None)
             continue
         row = []
         off = 1
@@ -202,6 +208,8 @@ def parse_shapefile_zip(data: bytes) -> list[dict]:
         for geom, props in zip(geoms, attrs):
             if geom is None:
                 continue  # record without geometry skipped (P2)
+            if props is None:
+                continue  # deleted DBF record (alignment preserved above)
             rows.append({"geom": _promote(geom), "properties": props, "crs": crs})
     return rows
 
