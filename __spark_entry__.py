@@ -35,6 +35,7 @@ from geo_import_spark.streaming import events as eventsmod
 KNN_LIMIT = 120  # custkey cutoff for the kNN query (bounds the oracle cross join)
 TILE_Z = 12
 JACCARD_THRESHOLD = 0.2
+JACCARD_MAX_DF_FRAC = 0.01  # hot-shingle cap: df > 1% of docs dropped pre-join
 ANN_QUERIES = 10
 ANN_K = 10
 
@@ -163,7 +164,9 @@ def _simhash(spark, sf_dir):
 
 
 def _ngram_jaccard(spark, sf_dir):
-    return dedupmod.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+    return dedupmod.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
+    )
 
 
 def _minhash_sig(spark, sf_dir):
@@ -182,6 +185,11 @@ def _ann_topk(spark, sf_dir):
 def _ann_buckets(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_buckets(emb)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
 
 
 def _media_features(spark, sf_dir):
@@ -277,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _minhash_lsh,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_buckets": _ann_buckets,
+        "ann_lsh_topk": _ann_lsh_topk,
         "media_features": _media_features,
         "events_window": _events_window,
         "sessionize": _sessionize,
@@ -387,13 +396,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.SQL_EXACT_DEDUP,
         "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
         "simhash": textops.SQL_SIMHASH,
-        "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(threshold=JACCARD_THRESHOLD),
+        "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(
+            threshold=JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
+        ),
         "minhash_signatures": dedupmod.SQL_MINHASH_SIG,
         "minhash_lsh_pairs": dedupmod.SQL_MINHASH_LSH_PAIRS,
         "ann_cosine_topk": similarity.SQL_COSINE_TOPK.format(
             n_queries=ANN_QUERIES, k=ANN_K
         ),
         "ann_lsh_buckets": similarity.SQL_LSH_BUCKETS,
+        "ann_lsh_topk": similarity.SQL_LSH_TOPK.format(
+            n_queries=ANN_QUERIES, k=ANN_K
+        ),
         "media_features": multimodal.sql_media_features(
             """
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

@@ -50,15 +50,37 @@ def shingles_col(text_col, n: int = NGRAM):
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    max_df_frac: float | None = 0.01,
+) -> DataFrame:
     """All doc pairs with word-3-gram Jaccard ≥ threshold.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    max_df_frac caps shingle document frequency BEFORE the self-join:
+    a shingle appearing in more than max_df_frac of all docs (hot
+    boilerplate — the skew axis) is dropped from candidate generation,
+    bounding the equi-join's per-key fan-out. Without it one hot
+    shingle shared by f docs produces f^2/2 pairs — quadratic blowup
+    at corpus scale. Per-doc set sizes (na/nb) still count ALL
+    shingles, so the cap only *under*-counts intersections (standard
+    recall-on-boilerplate tradeoff). None disables the cap.
     """
     ex = (
         documents.select("doc_id", shingles_col(F.col("text")).alias("sh"))
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     )
+    if max_df_frac is not None:
+        cap = max_df_frac * documents.count()
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
     shared = (
@@ -158,7 +180,12 @@ FROM documents
 
 SQL_NGRAM_JACCARD = f"""
 WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents),
-ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+hot AS (
+  SELECT shingle FROM ex0 GROUP BY shingle
+  HAVING COUNT(*) > (SELECT {{max_df_frac}} * COUNT(*) FROM documents)
+),
+ex AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          COUNT(*) AS inter

@@ -69,16 +69,74 @@ def _plane_component(j, i):
 PLANES = [[_plane_component(j, i) for i in range(DIM)] for j in range(N_PLANES)]
 
 
-def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: bit j set iff
-    dot(plane_j, v) > 0. Output: (vec_id, bucket: int)."""
-    v = _dvec("embedding")
+def _bucket_expr(v):
+    """Random-hyperplane bucket id: bit j set iff dot(plane_j, v) > 0."""
     bucket = None
     for j, plane in enumerate(PLANES):
         d = _dot(F.array(*[F.lit(p) for p in plane]), v)
         bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit j set iff
+    dot(plane_j, v) > 0. Output: (vec_id, bucket: int)."""
+    return embeddings.select(
+        "vec_id", _bucket_expr(_dvec("embedding")).alias("bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """ANN top-k completing the LSH path: candidates come from an
+    equi-join on bucket (multi-probe: the query's own bucket plus all
+    8 Hamming-distance-1 buckets), then exact cosine re-rank per query.
+
+    At scale this is the plan that replaces the brute-force cross
+    join: the corpus is shuffled ONCE by bucket (or pre-bucketed at
+    write time), the probe side is tiny and broadcast, and each
+    candidate group re-ranks independently. Probe buckets are
+    pairwise distinct (b ^ 1<<j != b), so candidate pairs are unique
+    without a dedup shuffle. Output: (query_id, vec_id, rank) —
+    rank over the candidate set only, so fewer than k rows per query
+    is possible (recall is tested vs cosine_topk).
+    """
+    e = embeddings.select(
+        "vec_id",
+        _dvec("embedding").alias("v"),
+        _bucket_expr(_dvec("embedding")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = e.join(F.broadcast(probes), "bucket")
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
 
 
 # --- SQL mirrors ------------------------------------------------------------
@@ -103,13 +161,44 @@ SELECT query_id, vec_id, rank FROM (
 ) WHERE rank <= {{k}}
 """
 
-SQL_LSH_BUCKETS = f"""
-WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings)
-SELECT vec_id,
-       CAST(list_sum(list_transform(range(0, {N_PLANES}), j ->
+_SQL_BUCKET = f"""CAST(list_sum(list_transform(range(0, {N_PLANES}), j ->
          CASE WHEN list_sum(list_transform(range(1, {DIM + 1}), i ->
                 ((((j * {DIM} + (i - 1)) * 2654435761) % {PLANE_MOD})
                    / {float(PLANE_MOD)} - 0.5) * v[i])) > 0
-         THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS INTEGER) AS bucket
+         THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS INTEGER)"""
+
+SQL_LSH_BUCKETS = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings)
+SELECT vec_id, {_SQL_BUCKET} AS bucket
 FROM e
+"""
+
+_SQL_COS = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * v[i]))"
+    f" / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])))"
+    f" * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * v[i]))))"
+)
+
+SQL_LSH_TOPK = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM eb WHERE vec_id < {{n_queries}}),
+probes AS (
+  SELECT query_id, qv,
+         unnest(list_prepend(qbucket,
+           list_transform(range(0, {N_PLANES}),
+                          j -> xor(qbucket, CAST(1 AS INTEGER) << j)))) AS bucket
+  FROM q
+),
+cand AS (
+  SELECT p.query_id, eb.vec_id, p.qv, eb.v
+  FROM eb JOIN probes p ON eb.bucket = p.bucket
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY {_SQL_COS} DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= {{k}}
 """

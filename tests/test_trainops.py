@@ -44,6 +44,61 @@ def test_ann_rank1_is_self(spark, sf_dir):
     assert len(top) == 15
 
 
+def test_hot_shingle_df_cap_bounds_pair_blowup(spark):
+    """N docs sharing one boilerplate sentence: without the df cap the
+    shingle self-join yields ~N^2/2 pairs; with the cap (df > 1% of
+    docs) the hot shingles never enter the join."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [(f"b-{i}", f"{boiler} unique{i} token{i} extra{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df_frac=None)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df_frac=0.05)
+    assert uncapped.count() == 40 * 39 // 2  # quadratic: every pair shares boilerplate
+    assert capped.count() == 0  # hot shingles dropped before the join
+
+
+def test_ann_lsh_topk_recall_on_near_duplicates(spark):
+    """Completed LSH ANN path: planted near-duplicate vectors (base +
+    1% noise) land in the same or a Hamming-1 bucket, so multi-probe
+    candidate generation + exact re-rank recovers them."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n_clusters, copies = 20, 3
+    base = rng.normal(size=(n_clusters, similarity.DIM))
+    rows = []
+    for c in range(n_clusters):
+        rows.append((c, base[c].astype(float).tolist()))
+        for j in range(1, copies + 1):
+            noisy = base[c] + 0.01 * rng.normal(size=similarity.DIM)
+            rows.append((c + 100 * j, noisy.astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.lsh_topk(emb, n_queries=n_clusters, k=copies + 1).toPandas()
+    found = set(zip(got["query_id"], got["vec_id"]))
+    planted = [
+        (c, c + 100 * j) for c in range(n_clusters) for j in range(1, copies + 1)
+    ]
+    recall = sum(p in found for p in planted) / len(planted)
+    assert recall >= 0.9, recall
+    r1 = got[got["rank"] == 1]
+    assert (r1["query_id"].values == r1["vec_id"].values).all()
+
+
+def test_ann_lsh_topk_subset_of_bruteforce_order(spark, sf_dir):
+    """On the corpus: every (query, vec) the ANN path returns must be
+    ranked consistently with the exact cosine order (the re-rank is
+    exact; only candidate generation is approximate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, n_queries=5, k=500).toPandas()
+    ann = similarity.lsh_topk(emb, n_queries=5, k=10).toPandas()
+    exact_rank = {(q, v): r for q, v, r in exact.itertuples(index=False)}
+    for q in sorted(ann["query_id"].unique()):
+        sub = ann[ann["query_id"] == q].sort_values("rank")
+        ex = [exact_rank[(q, v)] for v in sub["vec_id"]]
+        assert ex == sorted(ex)  # ANN order == exact cosine order
+        assert sub.iloc[0]["vec_id"] == q  # self is always a candidate
+
+
 def test_media_real_decode_raises(spark, sf_dir):
     from geo_import_spark import corpus
     from geo_import_spark.operators import tiling
