@@ -163,10 +163,13 @@ def merge_layers(parsed: DataFrame):
     )
     layers = unify_fingerprints([r["fp"] for r in firsts])
     fp_to_idx = {fp: layer.layer_idx for layer in layers for fp in layer.fingerprints}
-    mapping = F.create_map(
-        *[x for kv in fp_to_idx.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-    )
-    assigned = with_fp.withColumn("layer_idx", mapping[F.col("fp")]).drop("fp")
+    if fp_to_idx:
+        mapping = F.create_map(
+            *[x for kv in fp_to_idx.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )[F.col("fp")]
+    else:  # no valid rows at all -> no layers
+        mapping = F.lit(None).cast("int")
+    assigned = with_fp.withColumn("layer_idx", mapping).drop("fp")
     return assigned, layers
 
 

@@ -85,10 +85,12 @@ class CheckpointedStage:
             .partitionBy(unit_col)
             .parquet(self.stage_dir)
         )
-        # per-unit row counts for lineage (reads back manifest-cheap)
+        # per-unit row counts for lineage (reads back manifest-cheap;
+        # explicit schema so an all-rows-filtered stage — zero files
+        # written — still reads as empty instead of failing inference)
         counts = {
             r[0]: r[1]
-            for r in spark.read.parquet(self.stage_dir)
+            for r in spark.read.schema(out.schema).parquet(self.stage_dir)
             .filter(F.col(unit_col).isin(pending))
             .groupBy(unit_col)
             .count()

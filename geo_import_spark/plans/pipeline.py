@@ -85,6 +85,55 @@ def run_pipeline(
     summary["tiles"] = st_tiles.run(
         spark, anchors_u, "unit", do_tiles, input_fingerprint=sf_dir
     )
+
+    # stage 4: publish — commit the join output as an Iceberg-style
+    # table whose manifest carries the WGS84 mega-bbox
+    # (services/spatial.js:318-345 parent-metadata update), plus an
+    # errors table for rejected rows (the ISS error-event side channel,
+    # upstream/iss.js:95-140).
+    import os
+
+    from geo_import_spark.plans.table import Table
+
+    bbox_row = points.filter(
+        F.col("lon").between(-180, 180) & F.col("lat").between(-90, 90)
+    ).agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    ).collect()[0]
+    bbox = {k: bbox_row[k] for k in ("minx", "miny", "maxx", "maxy")}
+
+    out_table = Table(os.path.join(out_root, "table_pip"))
+    snap = out_table.commit(
+        spark,
+        st_pip.read(spark),
+        properties={"bbox": bbox, "bboxCrs": "EPSG:4326"},
+    )
+
+    # Error side-channel at scale: the JVM fast path drops whatever it
+    # can't parse as a Point feature; only those (rare) spans re-run
+    # through the full pandas decoder to get a reason — never the
+    # whole corpus twice.
+    gs = docs.select("doc_id", F.explode("spans").alias("span")).filter(
+        F.col("span.kind") == "geometry"
+    ).select("doc_id", F.col("span.offset").alias("span_offset"), F.col("span.text").alias("text"))
+    dropped = gs.join(
+        points.select("doc_id", "span_offset"), ["doc_id", "span_offset"], "left_anti"
+    )
+    errors = (
+        dropped.withColumn("parsed", geojson.parse_feature("text"))
+        .filter(F.col("parsed.error").isNotNull())
+        .select("doc_id", "span_offset", F.col("parsed.error").alias("error"))
+    )
+    err_table = Table(os.path.join(out_root, "table_errors"))
+    err_snap = err_table.commit(spark, errors)
+    summary["publish"] = {
+        "bbox": bbox,
+        "rows": snap["rows"],
+        "error_rows": err_snap["rows"],
+    }
     return summary
 
 

@@ -111,8 +111,13 @@ def _parse_one(txt: str, default_crs: str):
         po, ro, xs, ys = geomkern.flatten_geojson_coords(gtype, geometry.get("coordinates"))
     except ValueError as e:
         return (empty_geom, props_json, tp, crs, str(e))
-    if sum(ro[i + 1] - ro[i] for i in range(len(ro) - 1)) > geomkern.MAX_VERTICES_PER_ROW:
+    if len(xs) > geomkern.MAX_VERTICES_PER_ROW:
         return (empty_geom, props_json, tp, crs, "too many vertices")
+    if not xs:
+        # P5: empty coordinate list -> SoQLNull geometry IN-ENGINE
+        # (soql/mapper.js:32-46); the layer may later type the column
+        # from other rows (layer.js:214-236).
+        return (None, props_json, tp, crs, None)
     return ((gtype, po, ro, xs, ys), props_json, tp, crs, None)
 
 

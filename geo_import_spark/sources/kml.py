@@ -290,6 +290,15 @@ def _row_to_feature(row: dict, crs: str = KML_CRS):
         )
     except ValueError as e:
         return (None, props_json, props, crs, str(e))
+    # G6 vertex guard on EVERY decoder path (KML/KMZ/shapefile route
+    # through here), matching layer-write enforcement in the
+    # reference (es6-lib/decoders/layer.js:254-258, maxVerticesPerRow
+    # config/config.js:26).
+    if len(xs) > geomkern.MAX_VERTICES_PER_ROW:
+        return (None, props_json, props, crs, "too many vertices")
+    if not xs:
+        # P5: empty coords -> SoQLNull geometry (soql/mapper.js:32-46)
+        return (None, props_json, props, crs, None)
     return ((geom["type"], po, ro, xs, ys), props_json, props, crs, None)
 
 

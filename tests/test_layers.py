@@ -144,17 +144,37 @@ def test_empty_coords_nullified_and_refined(spark):
     for that row; layer still types the_geom from the other rows
     (soql/mapper.js:32-46 + layer.js:214-236)."""
     parsed = _features_df(spark, "empty_coords.json")
-    # empty-coords geometry -> null geom (P5 nullification)
-    parsed = parsed.withColumn(
-        "geom",
-        F.when(F.size("geom.xs") == 0, F.lit(None).cast(parsed.schema["geom"].dataType))
-        .otherwise(F.col("geom")),
-    )
+    # P5 nullification happens IN the parser now — no test-side fixup
     assigned, layers = layersmod.merge_layers(parsed)
     assert len(layers) == 1
     assert layers[0].geom_ctype == "linestring"
     out = layersmod.normalize_layer(assigned, layers[0])
     assert out.filter(F.col("the_geom").isNull()).count() >= 1
+
+
+def test_vertex_guard_on_kml_and_shapefile_path(monkeypatch):
+    """G6 on the non-GeoJSON decoder paths: an over-limit geometry
+    routed through _row_to_feature (KML/KMZ/shapefile share it)
+    becomes an error row, not a layer row (layer.js:254-258 /
+    merger.js:418-432 vertex-limit golden, limit scaled down)."""
+    monkeypatch.setattr(geomkern, "MAX_VERTICES_PER_ROW", 5)
+    big_line = {"type": "LineString",
+                "coordinates": [[float(i), float(i)] for i in range(10)]}
+    row = {"geom": big_line, "properties": [("name", "big", "string")]}
+    geom, pj, props, crs, err = kmlmod._row_to_feature(row)
+    assert geom is None and err == "too many vertices"
+    small = {"geom": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": []}
+    geom, _, _, _, err = kmlmod._row_to_feature(small)
+    assert err is None and geom[0] == "Point"
+
+
+def test_empty_coords_nullified_on_kml_path():
+    """P5 on the shared _row_to_feature path: empty coordinate list ->
+    null geometry, no error."""
+    row = {"geom": {"type": "LineString", "coordinates": []}, "properties": []}
+    geom, pj, props, crs, err = kmlmod._row_to_feature(row)
+    assert geom is None and err is None
 
 
 def test_arity_error_side_channel(spark):

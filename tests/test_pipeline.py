@@ -58,4 +58,64 @@ def test_pipeline_resume_after_kill(spark, sf_dir, tmp_path):
     assert CheckpointedStage(out, "points").read(spark).count() == pts.count()
     # a second full run is a no-op everywhere
     s2 = pl.run_pipeline(spark, sf_dir, out)
-    assert all(v["units_run"] == 0 for v in s2.values())
+    assert all(
+        v["units_run"] == 0 for k, v in s2.items() if k != "publish"
+    )
+    # publish is idempotent re-commit: same bbox, new snapshot
+    assert s2["publish"]["bbox"] == s["publish"]["bbox"]
+
+
+def test_pipeline_publishes_bbox_and_errors(spark, tmp_path):
+    """Stage 4: the committed output manifest carries the WGS84
+    mega-bbox, and rejected rows land in the errors table with a
+    reason (spatial.js:318-345 + ISS error events)."""
+    from geo_import_spark.functions import geomkern
+    from geo_import_spark.plans.table import Table
+    from geo_import_spark.sources.geojson import GEOM_TYPE
+    from pyspark.sql import types as T
+
+    feat = (
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[%s,%s]},'
+        '"properties":{}}'
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("geometry", feat % (10.0, 20.0), "", 0)]),
+            ("d2", [("geometry", feat % (-30.0, 5.0), "", 0)]),
+            ("d3", [("geometry", "{not json", "", 0)]),
+            (
+                "d4",
+                [
+                    (
+                        "geometry",
+                        '{"type":"Feature","geometry":{"type":"Point",'
+                        '"coordinates":[1.0,2.0,3.0]},"properties":{}}',
+                        "",
+                        0,
+                    )
+                ],
+            ),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    ring = [[0.0, 0.0], [40.0, 0.0], [40.0, 40.0], [0.0, 40.0], [0.0, 0.0]]
+    po, ro, xs, ys = geomkern.flatten_geojson_coords("Polygon", [ring])
+    polys = spark.createDataFrame(
+        [("p1", ("Polygon", po, ro, xs, ys))],
+        T.StructType(
+            [T.StructField("poly_id", T.StringType()), T.StructField("geom", GEOM_TYPE)]
+        ),
+    )
+    out = str(tmp_path / "pub")
+    s = pl.run_pipeline(spark, "synthetic", out, docs_df=docs, polys_df=polys)
+    snap = Table(f"{out}/table_pip").current_snapshot()
+    assert snap["properties"]["bboxCrs"] == "EPSG:4326"
+    assert snap["properties"]["bbox"] == {
+        "minx": -30.0, "miny": 5.0, "maxx": 10.0, "maxy": 20.0
+    }
+    errs = Table(f"{out}/table_errors").read(spark).toPandas()
+    assert sorted(errs["doc_id"]) == ["d3", "d4"]
+    reasons = " ".join(errs["error"])
+    assert "malformed" in reasons and "arity" in reasons
+    assert s["publish"]["error_rows"] == 2
