@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # GC threads default to the MACHINE's core count (32 here) —
+        # a local[2] job would still spawn 32 parallel GC threads,
+        # fighting the task threads for the VM's real capacity. Pin
+        # them to the job's width.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(cpus, 2)} -XX:ConcGCThreads={max(cpus // 2, 1)}",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
