@@ -99,3 +99,13 @@ def test_table_summary_is_metadata_only(spark, sf_dir, tmp_path):
     lo, hi = s["stats"]["min_n_chars"], s["stats"]["max_n_chars"]
     row = docs.selectExpr("min(n_chars)", "max(n_chars)").collect()[0]
     assert (lo, hi) == (row[0], row[1])
+
+
+def test_full_summary_kml_blob(spark):
+    """KML routes through the same full-summary dispatch (no quick
+    path — canSummarizeQuickly is shapefile-only in the reference)."""
+    blob = open(f"{FIX}/simple_points.kml", "rb").read()
+    out = summod.summarize_blob(spark, blob, "kml")
+    assert len(out) == 1
+    assert out[0]["count"] == 2
+    assert out[0]["geomType"] == "point"
