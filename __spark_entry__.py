@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geo_import_spark import corpus
-from geo_import_spark.corpus import SQL_POINTS, SQL_POLYGONS
+from geo_import_spark.corpus import SQL_CONCAVE_POLYGONS, SQL_POINTS, SQL_POLYGONS
 from geo_import_spark.operators import dedup as dedupmod
 from geo_import_spark.operators import knn as knnmod
 from geo_import_spark.operators import multimodal
@@ -59,6 +59,17 @@ def _pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = geojson.point_spans(docs)
     polys = corpus.polygons(spark, sf_dir)
     return pipmod.pip_join(pts, polys).select("doc_id", "poly_id")
+
+
+def _pip_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ray-cast PIP against the concave L-shaped layer: the
+    polygon bbox covers the notch, so bbox-passing candidates in the
+    notch are rejected only by the ray cast — the oracle (union of the
+    L's two rectangles) hash-verifies that rejection end-to-end."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    lpolys = corpus.concave_polygons(spark, sf_dir)
+    return pipmod.pip_join(pts, lpolys).select("doc_id", "poly_id")
 
 
 def _pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +180,12 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH pairs -> one
+    representative per near-dup cluster (singletons included)."""
+    return dedupmod.duplicate_clusters(_docs(spark, sf_dir))
+
+
 def _minhash_sig(spark, sf_dir):
     return dedupmod.minhash_signatures(_docs(spark, sf_dir))
 
@@ -269,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_points": _parse_points,
         "pip_join": _pip_join,
+        "pip_join_concave": _pip_join_concave,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
         "knn": _knn,
@@ -283,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "minhash_signatures": _minhash_sig,
         "minhash_lsh_pairs": _minhash_lsh,
+        "dedup_clusters": _dedup_clusters,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_buckets": _ann_buckets,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -307,6 +326,18 @@ WITH {_PTS}, {_POLYS}
 SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
 FROM pts p JOIN polys g
   ON p.lon > g.minx AND p.lon < g.maxx AND p.lat > g.miny AND p.lat < g.maxy
+"""
+
+# Concave oracle: an L-shape is exactly the union of two rectangles
+# (disjoint interiors; the shared edge is off the point grid), so the
+# SQL containment test is the OR of two strict bbox tests — while the
+# Spark side decides via the even-odd ray cast on the 6-vertex ring.
+_SQL_PIP_CONCAVE = f"""
+WITH {_PTS}, lpolys AS ({SQL_CONCAVE_POLYGONS})
+SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
+FROM pts p JOIN lpolys g
+  ON (p.lon > g.x0 AND p.lon < g.x1 AND p.lat > g.y0 AND p.lat < g.ym)
+  OR (p.lon > g.x0 AND p.lon < g.xm AND p.lat > g.ym AND p.lat < g.y1)
 """
 
 _QK_DIGITS = (
@@ -362,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
         """,
         "pip_join": _SQL_PIP,
+        "pip_join_concave": _SQL_PIP_CONCAVE,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})
             SELECT poly_id, COUNT(*) AS n_docs FROM hits GROUP BY poly_id
@@ -401,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_signatures": dedupmod.SQL_MINHASH_SIG,
         "minhash_lsh_pairs": dedupmod.SQL_MINHASH_LSH_PAIRS,
+        "dedup_clusters": dedupmod.SQL_DUP_CLUSTERS,
         "ann_cosine_topk": similarity.SQL_COSINE_TOPK.format(
             n_queries=ANN_QUERIES, k=ANN_K
         ),

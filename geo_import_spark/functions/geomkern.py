@@ -165,6 +165,97 @@ def fix_semantics(gtype, part_offsets, ring_offsets, xs, ys):
     return gtype, part_offsets, ring_offsets, xs, ys
 
 
+def batch_fix_rings(gtypes, ring_offsets_list, xs_list, ys_list):
+    """Vectorized fix_semantics over a whole Arrow batch: linify
+    (1-point line parts duplicated) + close-rings (polygon rings
+    closed with their first vertex and padded to >= 4 points) — the
+    same semantics as fix_semantics(), but every per-VERTEX operation
+    is a NumPy pass over batch-flat arrays (per-row Python is limited
+    to O(rows) offset bookkeeping). Point-only batches take a zero-
+    surgery fast path (no ring ever needs an append).
+
+    Inputs are parallel sequences over the batch's valid rows.
+    Returns (new_ring_offsets: list of per-row relative offset lists,
+             flat_x, flat_y: batch-concatenated fixed coordinates,
+             row_bounds: int64 array, len n+1 — row i's coords are
+             flat_x[row_bounds[i]:row_bounds[i+1]]).
+    part_offsets are unchanged by construction (ring counts never
+    change).
+    """
+    n = len(gtypes)
+    row_lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=n)
+    coord_base = np.concatenate([[0], np.cumsum(row_lens)])
+    if coord_base[-1]:
+        flat_x = np.concatenate([np.asarray(x, dtype=np.float64) for x in xs_list])
+        flat_y = np.concatenate([np.asarray(y, dtype=np.float64) for y in ys_list])
+    else:
+        flat_x = np.zeros(0)
+        flat_y = np.zeros(0)
+    ring_counts = np.fromiter(
+        (len(r) - 1 for r in ring_offsets_list), dtype=np.int64, count=n
+    )
+    ring_start = (
+        np.concatenate(
+            [np.asarray(r[:-1], dtype=np.int64) + b
+             for r, b in zip(ring_offsets_list, coord_base[:-1])]
+        )
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    ring_end = (
+        np.concatenate(
+            [np.asarray(r[1:], dtype=np.int64) + b
+             for r, b in zip(ring_offsets_list, coord_base[:-1])]
+        )
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    ring_row = np.repeat(np.arange(n), ring_counts)
+
+    gt = np.asarray(gtypes, dtype=object)
+    is_poly = np.isin(gt, ("Polygon", "MultiPolygon"))
+    is_line = np.isin(gt, ("LineString", "MultiLineString"))
+    L = ring_end - ring_start
+    poly_ring = is_poly[ring_row] & (L > 0)
+    extra = np.zeros(len(L), dtype=np.int64)
+    if poly_ring.any():
+        s = ring_start[poly_ring]
+        e = ring_end[poly_ring] - 1
+        needs_close = (
+            (flat_x[s] != flat_x[e]) | (flat_y[s] != flat_y[e])
+        ).astype(np.int64)
+        # close first, then pad to 4 — all appended points are the first
+        extra[poly_ring] = needs_close + np.maximum(
+            0, 4 - (L[poly_ring] + needs_close)
+        )
+    extra[is_line[ring_row] & (L == 1)] = 1
+
+    if not extra.any():  # fast path: nothing to append (e.g. all Points)
+        new_ro = [list(r) for r in ring_offsets_list]
+        return new_ro, flat_x, flat_y, coord_base
+
+    out_len = L + extra
+    out_starts = np.concatenate([[0], np.cumsum(out_len)])
+    rep_ring = np.repeat(np.arange(len(L)), out_len)
+    pos = np.arange(out_starts[-1]) - out_starts[rep_ring]
+    src = np.where(
+        pos < L[rep_ring], ring_start[rep_ring] + pos, ring_start[rep_ring]
+    )
+    new_x = flat_x[src]
+    new_y = flat_y[src]
+    ring_split = np.cumsum(ring_counts)[:-1] if n else np.zeros(0, dtype=np.int64)
+    out_len_per_row = np.split(out_len, ring_split)
+    new_ro = [
+        np.concatenate([[0], np.cumsum(ol)]).astype(np.int64).tolist()
+        for ol in out_len_per_row
+    ]
+    new_row_lens = np.fromiter(
+        (ol.sum() for ol in out_len_per_row), dtype=np.int64, count=n
+    )
+    row_bounds = np.concatenate([[0], np.cumsum(new_row_lens)])
+    return new_ro, new_x, new_y, row_bounds
+
+
 # ---------------------------------------------------------------------------
 # Vectorized ragged kernels (operate on a BATCH of geometries at once)
 # ---------------------------------------------------------------------------

@@ -156,6 +156,63 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> connected components -> representative per doc:
+    the last step of a production dedup pipeline (keep one doc per
+    cluster). Output: (doc_id, cluster_rep) for EVERY document —
+    singletons map to themselves; cluster_rep is the lexicographic min
+    doc_id of the component (deterministic, engine-independent).
+
+    Plan: iterative min-label propagation. labels start as
+    (doc_id, doc_id); each round joins labels to the (bidirectional)
+    edge list and takes the per-doc min over {own label} ∪ {neighbor
+    labels} — one shuffle keyed by doc_id per round, converging in
+    <= graph-diameter rounds (near-dup clusters are shallow: a dup
+    cluster's diameter is small by construction, so 3-5 rounds settle
+    real corpora). Lineage is truncated per round (localCheckpoint) so
+    the driver-bounded loop never builds an unbounded plan. The
+    fixpoint test is an exact changed-row count, not a hash.
+
+    pairs defaults to minhash_lsh_pairs(documents); any (doc_a, doc_b)
+    pair generator (ngram_jaccard_pairs, simhash buckets) plugs in.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # pair generation runs once
+
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        neighbor = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
 # --- SQL mirrors ------------------------------------------------------------
 
 SQL_SHINGLES = f"""
@@ -216,4 +273,22 @@ keyed AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+# Connected components over the LSH pairs: min label reachable from
+# each doc (bidirectional edges => component minimum). Mirrors
+# duplicate_clusters() value-for-value, singletons included.
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster_rep FROM walk GROUP BY doc_id
 """

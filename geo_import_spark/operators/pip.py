@@ -18,15 +18,19 @@ new engine's core physical strategy (§4.2.1-2):
      O(pairs x vertices)
 
 Scale notes (100 TB): the shuffle key is cell_id — bounded fan-out on
-both sides (points x |levels|, polys x max_cells). With broadcastable
-polygons (the default) the point side is never shuffled at all. Hot
-cells (a city cell holding millions of points) in the shuffle fallback
-(broadcast_polys=False) are handled by `salt_factor`: points get
+both sides (points x |levels|, polys x max_cells). The physical plan
+is AUTO-SELECTED by a one-job size estimate of the polygon side:
+within the broadcast budget the point side is never shuffled at all;
+beyond it the shuffle join is chosen — the driver never collects an
+unbounded polygon side. Hot cells (a city cell holding millions of
+points) in the shuffle fallback are handled by `salt_factor`: points get
 pmod(hash, s), polygons replicate x s, join key becomes
 (cell_id, salt) — an s-way split of every hot cell's hash bucket.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -36,6 +40,39 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from geo_import_spark.functions import cells as cellmod
+
+log = logging.getLogger("geo_import_spark.pip")
+
+# Broadcast-mode byte budget for the polygon side (matches the
+# session's autoBroadcastJoinThreshold default). Above it, pip_join
+# auto-selects the shuffle join — never a driver collect.
+BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
+# Per-polygon fixed cost in the broadcast estimate: dict entry, cover
+# rows (<= max_cells longs + bbox), Row overhead.
+_POLY_OVERHEAD_BYTES = 1024
+
+# Ring broadcasts created by broadcast-mode pip_join calls; a Spark
+# broadcast lives on driver + executors until destroyed, so LONG-LIVED
+# sessions issuing many pip_joins should call release_ring_broadcasts()
+# once the returned DataFrames are no longer needed.
+_RING_BROADCASTS: list = []
+
+
+def release_ring_broadcasts() -> int:
+    """Destroy every polygon-ring broadcast created by pip_join in this
+    session. Call after the DataFrames returned by broadcast-mode
+    pip_join calls are fully consumed (their plans reference the
+    broadcast and would fail if executed after this). Returns the
+    number destroyed."""
+    n = 0
+    while _RING_BROADCASTS:
+        bc = _RING_BROADCASTS.pop()
+        try:
+            bc.destroy()
+            n += 1
+        except Exception:  # already destroyed / context gone
+            pass
+    return n
 
 COVER_TYPE = T.StructType(
     [
@@ -158,23 +195,88 @@ def make_pip_bcast_udf(rings_bc):
     return contains
 
 
-def _collect_poly_rings(polygons: DataFrame) -> dict:
-    """poly_id -> (ring_offsets, xs, ys) ndarrays, driver-collected
-    (the polygon side is the broadcastable dimension)."""
+COVER_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType()),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("cell_id", T.LongType()),
+    ]
+)
+
+
+def _collect_rings_and_cover(polygons: DataFrame, base_level: int, max_cells: int):
+    """ONE driver collect of the polygon side, from which BOTH the
+    rings dict (for the sc.broadcast ray cast) and the exploded cell
+    cover rows are derived — the cover math (cells.covering_bbox) runs
+    on the driver, fine by definition: broadcast mode is only chosen
+    when the polygon side fits the broadcast budget.
+
+    Returns (rings: dict poly_id -> (ring_offsets, xs, ys),
+             cover_rows: list of COVER_ROW_SCHEMA tuples,
+             levels: sorted distinct cover levels)."""
     rows = polygons.select(
         "poly_id",
         F.col("geom.ring_offsets").alias("ro"),
         F.col("geom.xs").alias("xs"),
         F.col("geom.ys").alias("ys"),
     ).collect()
-    return {
-        r["poly_id"]: (
-            np.asarray(r["ro"], dtype=np.int64),
-            np.asarray(r["xs"], dtype=np.float64),
-            np.asarray(r["ys"], dtype=np.float64),
-        )
-        for r in rows
-    }
+    rings: dict = {}
+    cover_rows: list = []
+    levels: set = set()
+    for r in rows:
+        xs = np.asarray(r["xs"], dtype=np.float64)
+        ys = np.asarray(r["ys"], dtype=np.float64)
+        rings[r["poly_id"]] = (np.asarray(r["ro"], dtype=np.int64), xs, ys)
+        if xs.size == 0:
+            continue
+        minx, maxx = float(xs.min()), float(xs.max())
+        miny, maxy = float(ys.min()), float(ys.max())
+        cover, lv = cellmod.covering_bbox(minx, miny, maxx, maxy, base_level, max_cells)
+        levels.add(int(lv))
+        for cid in cover.tolist():
+            cover_rows.append((r["poly_id"], minx, miny, maxx, maxy, int(lv), cid))
+    return rings, cover_rows, sorted(levels)
+
+
+def _cover_level_col(minx, miny, maxx, maxy, base_level: int, max_cells: int):
+    """JVM mirror of cells.covering_bbox's level choice: the finest
+    level <= base_level whose bbox grid cover has <= max_cells cells
+    (identical double arithmetic + clipping => bit-identical to the
+    NumPy path). Lets the shuffle join probe the distinct cover levels
+    with a pure-JVM aggregate — no covering UDF pass, no persist."""
+
+    def ncells(lv: int):
+        n = 1 << lv
+        def grid(v, flip: bool):
+            g = F.floor(((90.0 - v) if flip else (v + 180.0)) / (180.0 if flip else 360.0) * n).cast("long")
+            return F.greatest(F.least(g, F.lit(n - 1)), F.lit(0))
+        nx = grid(maxx, False) - grid(minx, False) + 1
+        ny = grid(miny, True) - grid(maxy, True) + 1
+        return nx * ny
+
+    expr = F.when(ncells(base_level) <= max_cells, base_level)
+    for lv in range(base_level - 1, 1, -1):
+        expr = expr.when(ncells(lv) <= max_cells, lv)
+    return expr.otherwise(1).cast("int")
+
+
+def estimate_polygon_side_bytes(polygons: DataFrame) -> tuple[int, int]:
+    """(n_polys, estimated broadcast bytes) for the polygon side — one
+    column-pruned aggregate job: rows x fixed overhead + vertices x 16
+    bytes (two float64 per vertex). Drives the auto broadcast/shuffle
+    plan choice; deliberately conservative (counts cover + dict + Row
+    overhead per polygon)."""
+    row = polygons.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("geom.xs")).alias("verts"),
+    ).collect()[0]
+    n = row["n"] or 0
+    verts = row["verts"] or 0
+    return n, n * _POLY_OVERHEAD_BYTES + verts * 16
 
 
 def pip_join(
@@ -184,38 +286,74 @@ def pip_join(
     max_cells: int = 64,
     salt_factor: int | None = None,
     point_cols: tuple[str, ...] = ("doc_id", "span_offset"),
-    broadcast_polys: bool = True,
+    broadcast_polys: bool | str = "auto",
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Exact PIP join: returns point_cols + poly_id for every
     (point, polygon) containment. `points` needs lon/lat; `polygons`
     needs poly_id + flat geom.
 
-    broadcast_polys=True (default): the polygon side — cover cells AND
-    ring coordinates — is collected once and shipped per executor
+    broadcast_polys="auto" (default): ONE column-pruned aggregate
+    estimates the polygon side (rows x overhead + vertices x 16 bytes)
+    and picks broadcast iff it fits broadcast_budget_bytes — the
+    driver never collects an unbounded polygon side. The choice is
+    logged. True/False force a path (tests / operator override).
+
+    broadcast mode: the polygon side — cover cells AND ring
+    coordinates — is collected ONCE and shipped per executor
     (local-relation broadcast join + sc.broadcast rings). The Python
     bridge then carries only (lon, lat, poly_id) per candidate: bytes
     are O(candidates) + O(polygons), never O(pairs x vertices).
 
-    broadcast_polys=False: the at-scale fallback when the polygon side
-    exceeds broadcast budget — shuffle join on cell_id (AQE skew-join /
-    explicit salting) with polygon coords joined per candidate.
+    shuffle mode: the at-scale fallback when the polygon side exceeds
+    the broadcast budget — shuffle join on cell_id (AQE skew-join /
+    explicit salting) with polygon coords joined per candidate. The
+    distinct-levels probe is a pure-JVM aggregate (_cover_level_col),
+    so nothing is persisted and the covering UDF runs exactly once,
+    inside the join's execution.
     """
     spark = points.sparkSession
 
+    if broadcast_polys == "auto":
+        n_polys, est_bytes = estimate_polygon_side_bytes(polygons)
+        broadcast_polys = est_bytes <= broadcast_budget_bytes
+        log.info(
+            "pip_join auto plan: polygon side ~%d bytes (%d polys) -> %s",
+            est_bytes, n_polys, "broadcast" if broadcast_polys else "shuffle",
+        )
+
     if broadcast_polys:
-        cover_plan = polygon_covering(polygons, base_level, max_cells)
-        cover_rows = cover_plan.collect()
+        rings, cover_rows, levels = _collect_rings_and_cover(
+            polygons, base_level, max_cells
+        )
         if not cover_rows:
             return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
-        levels = sorted({r["level"] for r in cover_rows})
-        cover = F.broadcast(spark.createDataFrame(cover_rows, cover_plan.schema))
+        cover = F.broadcast(spark.createDataFrame(cover_rows, COVER_ROW_SCHEMA))
     else:
-        # Cover is reused for the levels probe AND the join — persist
-        # so the covering UDF runs once over the polygon side.
-        cover = polygon_covering(polygons, base_level, max_cells).persist()
-        levels = [r["level"] for r in cover.select("level").distinct().collect()]
+        # Distinct cover levels via the JVM mirror of covering_bbox's
+        # level choice — an aggregate over bboxes only (no cell
+        # explode, no pandas UDF, nothing persisted).
+        lv_rows = (
+            polygons.select(
+                F.array_min("geom.xs").alias("minx"),
+                F.array_min("geom.ys").alias("miny"),
+                F.array_max("geom.xs").alias("maxx"),
+                F.array_max("geom.ys").alias("maxy"),
+            )
+            .filter(F.col("minx").isNotNull())
+            .select(
+                _cover_level_col(
+                    F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+                    base_level, max_cells,
+                ).alias("level")
+            )
+            .distinct()
+            .collect()
+        )
+        levels = sorted({r["level"] for r in lv_rows})
         if not levels:
             return points.select(*point_cols).limit(0).withColumn("poly_id", F.lit(""))
+        cover = polygon_covering(polygons, base_level, max_cells)
 
     # Point side stays 100% JVM (cells.cell_col — whole-stage codegen):
     # one scan, explode over the distinct cover levels (usually 2-4).
@@ -249,7 +387,8 @@ def pip_join(
     )
 
     if broadcast_polys:
-        rings_bc = spark.sparkContext.broadcast(_collect_poly_rings(polygons))
+        rings_bc = spark.sparkContext.broadcast(rings)
+        _RING_BROADCASTS.append(rings_bc)
         refined = cand.filter(make_pip_bcast_udf(rings_bc)("lon", "lat", "poly_id"))
         return refined.select(*point_cols, "poly_id")
 

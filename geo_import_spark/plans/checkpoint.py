@@ -104,6 +104,11 @@ class CheckpointedStage:
         for u in pending:
             self._record(
                 {
+                    # v2: wall_s = amortized per-unit share of the batch
+                    # wall (v1 recorded the full batch wall per unit);
+                    # the version marker lets metrics readers mix logs
+                    # written by either schema without ambiguity.
+                    "lineage_version": 2,
                     "stage": self.stage,
                     "unit": u,
                     "status": "done",

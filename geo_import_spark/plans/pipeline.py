@@ -105,11 +105,31 @@ def run_pipeline(
     ).collect()[0]
     bbox = {k: bbox_row[k] for k in ("minx", "miny", "maxx", "maxy")}
 
+    # Publish BY FILE REFERENCE: the pip checkpoint's parquet is
+    # already immutable columnar output; the manifest snapshots those
+    # files instead of rewriting them (at 100 TB, Table.commit's
+    # rewrite would be a full extra copy of the dataset purely to get
+    # a manifest). One stats job + a JSON write.
+    import glob
+
     out_table = Table(os.path.join(out_root, "table_pip"))
-    snap = out_table.commit(
+    err_table = Table(os.path.join(out_root, "table_errors"))
+    pip_files = sorted(
+        glob.glob(os.path.join(st_pip.stage_dir, "**", "*.parquet"), recursive=True)
+    )
+    snap = out_table.commit_files(
         spark,
-        st_pip.read(spark),
-        properties={"bbox": bbox, "bboxCrs": "EPSG:4326"},
+        pip_files,
+        base_path=st_pip.stage_dir,
+        properties={
+            "bbox": bbox,
+            "bboxCrs": "EPSG:4326",
+            # Parent-metadata child-layer uid list (spatial.js:318-345
+            # writes geo.layers + privateMetadata.childViews alongside
+            # the bbox): the tables this run published.
+            "layers": [out_table.table_id],
+            "childViews": [out_table.table_id, err_table.table_id],
+        },
     )
 
     # Error side-channel at scale: the JVM fast path drops whatever it
@@ -127,7 +147,6 @@ def run_pipeline(
         .filter(F.col("parsed.error").isNotNull())
         .select("doc_id", "span_offset", F.col("parsed.error").alias("error"))
     )
-    err_table = Table(os.path.join(out_root, "table_errors"))
     err_snap = err_table.commit(spark, errors)
     summary["publish"] = {
         "bbox": bbox,

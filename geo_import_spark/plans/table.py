@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 class Table:
     def __init__(self, root: str):
         self.root = root
+        # Stable table uid (the child-view uid the reference's parent
+        # metadata lists, services/spatial.js:318-345): the root's
+        # basename — deterministic and human-readable.
+        self.table_id = os.path.basename(os.path.normpath(root))
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -60,11 +64,25 @@ class Table:
             files.append({"path": path, "bytes": os.path.getsize(path)})
         return files
 
-    def _file_stats(self, spark: SparkSession, data_dir: str, files: list[dict], stat_cols):
+    def _reader(self, spark: SparkSession, paths: list[str], base_path: str | None):
+        r = spark.read
+        if base_path:
+            # basePath keeps partition-directory columns (unit=...)
+            # visible when reading an explicit file list.
+            r = r.option("basePath", base_path)
+        return r.parquet(*paths)
+
+    def _file_stats(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        stat_cols,
+        base_path: str | None = None,
+    ):
         """Per-file row counts + min/max column stats (manifest-level
         pruning metadata, as Iceberg keeps per data file). ONE Spark
         job regardless of file count: a single scan of the snapshot's
-        data dir grouped by input_file_name() — never a per-file
+        file set grouped by input_file_name() — never a per-file
         driver loop (at 100 TB that would be thousands of jobs)."""
         from urllib.parse import unquote, urlparse
 
@@ -76,17 +94,19 @@ class Table:
         for c in stat_cols or []:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         rows = (
-            spark.read.parquet(data_dir)
+            self._reader(spark, [f["path"] for f in files], base_path)
             .groupBy(F.input_file_name().alias("_file"))
             .agg(*aggs)
             .collect()
         )
-        by_base = {
-            os.path.basename(unquote(urlparse(r["_file"]).path)): r.asDict()
+        # Match by absolute path, NOT basename: partitioned writes give
+        # one task the same part-file name in every unit=... dir.
+        by_path = {
+            os.path.abspath(unquote(urlparse(r["_file"]).path)): r.asDict()
             for r in rows
         }
         for f in files:
-            row = dict(by_base.get(os.path.basename(f["path"]), {}))
+            row = dict(by_path.get(os.path.abspath(f["path"]), {}))
             row.pop("_file", None)
             f["rows"] = row.pop("_rows", 0)
             f["stats"] = row
@@ -104,21 +124,66 @@ class Table:
         file set; 'append' adds to the current one."""
         data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.parquet(data_dir)
-        files = self._file_stats(spark, data_dir, self._collect_files(data_dir), stat_cols)
+        files = self._file_stats(spark, self._collect_files(data_dir), stat_cols)
+        return self._write_snapshot(df.schema.jsonValue(), files, mode, properties)
 
+    def commit_files(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        mode: str = "overwrite",
+        stat_cols: list[str] | None = None,
+        properties: dict | None = None,
+        base_path: str | None = None,
+    ) -> dict:
+        """Commit EXISTING immutable parquet files into a new snapshot
+        BY REFERENCE — no data rewrite. This is how a publish stage
+        promotes checkpoint output to a table: at 100 TB, `commit(df)`
+        would re-read and re-write the whole dataset a second time
+        purely to produce a manifest; referencing the already-written
+        files costs one stats job and a JSON write (the Iceberg
+        add_files / snapshot-of-existing-data pattern).
+
+        `base_path`: when the files live under a partitionBy layout
+        (.../unit=3/part-*.parquet), pass the layout root so partition
+        columns stay visible; it is recorded in the snapshot and
+        re-applied by read()/read_pruned().
+        """
+        files = [{"path": p, "bytes": os.path.getsize(p)} for p in sorted(paths)]
+        files = self._file_stats(spark, files, stat_cols, base_path=base_path)
+        schema = (
+            self._reader(spark, [f["path"] for f in files], base_path).schema.jsonValue()
+            if files
+            else None
+        )
+        return self._write_snapshot(
+            schema, files, mode, properties, base_path=base_path
+        )
+
+    def _write_snapshot(
+        self,
+        schema,
+        files: list[dict],
+        mode: str,
+        properties: dict | None,
+        base_path: str | None = None,
+    ) -> dict:
         parent = self.current_snapshot()
         if mode == "append" and parent:
             files = parent["files"] + files
         snap_id = (parent["snapshot_id"] + 1) if parent else 0
         snapshot = {
             "snapshot_id": snap_id,
+            "table_id": self.table_id,
             "parent_id": parent["snapshot_id"] if parent else None,
             "committed_at": time.time(),
-            "schema": df.schema.jsonValue(),
+            "schema": schema,
             "files": files,
             "rows": sum(f["rows"] for f in files),
             "properties": properties or {},
         }
+        if base_path:
+            snapshot["base_path"] = base_path
         snap_path = os.path.join(self.root, "manifests", f"snapshot-{snap_id:06d}.json")
         with open(snap_path, "w") as f:
             json.dump(snapshot, f)
@@ -134,7 +199,9 @@ class Table:
         snap = self.current_snapshot()
         if snap is None or not snap["files"]:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        return spark.read.parquet(*[f["path"] for f in snap["files"]])
+        return self._reader(
+            spark, [f["path"] for f in snap["files"]], snap.get("base_path")
+        )
 
     def read_pruned(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Manifest-stats file pruning: only read files whose [min,max]
@@ -149,4 +216,4 @@ class Table:
         ]
         if not keep:
             return self.read(spark).limit(0)
-        return spark.read.parquet(*keep)
+        return self._reader(spark, keep, snap.get("base_path"))

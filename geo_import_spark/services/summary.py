@@ -88,14 +88,13 @@ def full_summary(spark, documents, fmt: str) -> list[dict]:
 
 def summarize_blob(spark, blob: bytes, fmt: str, size: int | None = None) -> list[dict]:
     """The SummaryService.post dispatch (summary.js:63-90):
-    shapefile -> quick prj-only; small blob -> full; else abbreviated.
-    `size` defaults to len(blob) (the reference trusts the
-    X-Blob-Length header; an omitted header means abbreviated)."""
+    shapefile -> quick prj-only; small declared size -> full; else
+    abbreviated. `size` is the caller's X-Blob-Length equivalent: the
+    reference trusts the header, and when it is MISSING it warns and
+    abbreviates — so size=None returns the abbreviated [] here too."""
     if fmt == "shapefile":
         return quick_shapefile_summary(blob)
-    if size is None:
-        size = len(blob)
-    if size >= ABBREVIATE_SUMMARY_SIZE:
+    if size is None or size >= ABBREVIATE_SUMMARY_SIZE:
         return abbreviated_summary()
     import base64
     import json
@@ -112,7 +111,7 @@ def summarize_blob(spark, blob: bytes, fmt: str, size: int | None = None) -> lis
             if fc_crs is not None and isinstance(f, dict) and "crs" not in f:
                 f = {**f, "crs": fc_crs}
             spans.append(("geometry", json.dumps(f), "", i))
-    elif fmt in ("kmz", "shapefile"):
+    elif fmt == "kmz":  # shapefile never reaches here (quick path above)
         spans = [("geometry", base64.b64encode(blob).decode(), "", 0)]
     else:  # kml text
         spans = [("geometry", blob.decode("utf-8", "replace"), "", 0)]

@@ -40,7 +40,10 @@ def get_spark(
         # GC threads default to the MACHINE's core count (32 here) —
         # a local[2] job would still spawn 32 parallel GC threads,
         # fighting the task threads for the VM's real capacity. Pin
-        # them to the job's width.
+        # them to the job's width. NOTE: this conf only takes effect
+        # when the driver JVM is launched from Python; under
+        # spark-submit the JVM already exists, so the submit scripts
+        # (scripts/resume_demo.sh) pass --driver-java-options too.
         .config(
             "spark.driver.extraJavaOptions",
             f"-XX:ParallelGCThreads={max(cpus, 2)} -XX:ConcGCThreads={max(cpus // 2, 1)}",

@@ -14,22 +14,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def windowed_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+def windowed_counts(
+    events: DataFrame, width: str = "1 hour", exact_distinct: bool = True
+) -> DataFrame:
     """Tumbling-window per-type counts + exact micro-unit sums.
 
     events(event_id, ts, user_id, event_type, value, props) ->
     (event_type, win_start, n, total_micros, n_users).
 
     Streaming form: `events.withWatermark('ts', '1 hour')` then the
-    identical aggregation.
+    identical aggregation with exact_distinct=False — Structured
+    Streaming forbids exact distinct aggregates (unbounded state per
+    window), so the streaming path counts users with the HLL++ sketch
+    (approx_count_distinct), the standard at-scale tradeoff. Batch
+    keeps the exact count (oracle-compared).
     """
     micros = F.floor(F.col("value") * 1_000_000).cast("long")
+    n_users = (
+        F.countDistinct("user_id")
+        if exact_distinct
+        else F.approx_count_distinct("user_id")
+    )
     return (
         events.groupBy("event_type", F.window("ts", width).alias("win"))
         .agg(
             F.count("*").alias("n"),
             F.sum(micros).alias("total_micros"),
-            F.countDistinct("user_id").alias("n_users"),
+            n_users.alias("n_users"),
         )
         .select(
             "event_type",

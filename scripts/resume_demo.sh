@@ -15,7 +15,9 @@ rm -rf "$OUT" /tmp/geo_import_spark.zip
 python -c "import shutil; shutil.make_archive('/tmp/geo_import_spark', 'zip', '.', 'geo_import_spark')"
 
 echo "== run 1: spark-submit, killed mid-run =="
-spark-submit --master "local[$CPUS]" --py-files /tmp/geo_import_spark.zip \
+spark-submit --master "local[$CPUS]" \
+    --driver-java-options "-XX:ParallelGCThreads=$CPUS -XX:ConcGCThreads=$(( CPUS / 2 > 0 ? CPUS / 2 : 1 ))" \
+    --py-files /tmp/geo_import_spark.zip \
     run_job.py --sf-dir "$SF" --out "$OUT" --cpus "$CPUS" >/tmp/resume_run1.log 2>&1 &
 PID=$!
 # wait for stage-1 lineage, then kill while stage 2 (PIP) is in flight
@@ -32,7 +34,9 @@ echo "pip units done at kill:    $( [ -f "$OUT/pip.lineage.jsonl" ] && wc -l < "
 cp "$OUT/points.lineage.jsonl" /tmp/resume_points_lineage_run1.jsonl
 
 echo "== run 2: same invocation, resumes =="
-spark-submit --master "local[$CPUS]" --py-files /tmp/geo_import_spark.zip \
+spark-submit --master "local[$CPUS]" \
+    --driver-java-options "-XX:ParallelGCThreads=$CPUS -XX:ConcGCThreads=$(( CPUS / 2 > 0 ? CPUS / 2 : 1 ))" \
+    --py-files /tmp/geo_import_spark.zip \
     run_job.py --sf-dir "$SF" --out "$OUT" --cpus "$CPUS" 2>/tmp/resume_run2.log
 echo "== lineage check =="
 python - "$OUT" <<'PY'

@@ -119,3 +119,34 @@ def test_pipeline_publishes_bbox_and_errors(spark, tmp_path):
     reasons = " ".join(errs["error"])
     assert "malformed" in reasons and "arity" in reasons
     assert s["publish"]["error_rows"] == 2
+    # parent metadata lists the child tables (spatial.js:318-345
+    # geo.layers / privateMetadata.childViews parity)
+    assert snap["properties"]["layers"] == ["table_pip"]
+    assert snap["properties"]["childViews"] == ["table_pip", "table_errors"]
+
+
+def test_publish_commits_by_reference_not_rewrite(spark, sf_dir, tmp_path):
+    """VERDICT r2 #3: publish must snapshot the checkpoint's parquet
+    files into the manifest, not write a second copy of the data."""
+    import glob
+    import os
+
+    from geo_import_spark.plans.table import Table
+
+    out = str(tmp_path / "run")
+    pl.run_pipeline(spark, sf_dir, out)
+    tbl = Table(f"{out}/table_pip")
+    # no data files were copied under the table's own data dir
+    copied = glob.glob(f"{out}/table_pip/data/**/*.parquet", recursive=True)
+    assert copied == []
+    # every manifest file points into the pip checkpoint dir
+    snap = tbl.current_snapshot()
+    stage_dir = os.path.join(out, "pip")
+    assert snap["files"] and all(
+        f["path"].startswith(stage_dir) for f in snap["files"]
+    )
+    # reading the published table equals reading the checkpoint stage
+    got = tbl.read(spark)
+    direct = CheckpointedStage(out, "pip").read(spark)
+    assert got.count() == direct.count() == snap["rows"] > 0
+    assert set(got.columns) == set(direct.columns)  # unit col survives

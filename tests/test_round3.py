@@ -1,0 +1,272 @@
+"""Round-3 regression tests: PIP auto plan selection, JVM cover-level
+parity, persisted-RDD hygiene, and broadcast cleanup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geo_import_spark import corpus
+from geo_import_spark.functions import cells as cellmod
+from geo_import_spark.operators import pip as pipmod
+from geo_import_spark.sources import geojson
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return corpus.documents(spark, sf_dir)
+
+
+def test_cover_level_col_matches_numpy(spark):
+    """_cover_level_col (JVM when-chain) must pick the exact level
+    cells.covering_bbox picks, bit-for-bit, for arbitrary bboxes —
+    otherwise the shuffle path's point explode misses a level."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for _ in range(200):
+        w = float(10 ** rng.uniform(-3, 2.3))
+        h = float(10 ** rng.uniform(-3, 2.2))
+        cx = float(rng.uniform(-170, 170))
+        cy = float(rng.uniform(-80, 80))
+        rows.append(
+            (max(cx - w / 2, -180.0), max(cy - h / 2, -90.0),
+             min(cx + w / 2, 180.0), min(cy + h / 2, 90.0))
+        )
+    exp = [
+        cellmod.covering_bbox(a, b, c, d, 13, 64)[1] for a, b, c, d in rows
+    ]
+    df = spark.createDataFrame(rows, "minx double, miny double, maxx double, maxy double")
+    got = [
+        r["lv"]
+        for r in df.select(
+            pipmod._cover_level_col(
+                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 13, 64
+            ).alias("lv")
+        ).collect()
+    ]
+    assert got == exp
+
+
+def test_auto_plan_selection(docs, spark, sf_dir):
+    """broadcast_polys='auto' picks broadcast within budget (rings
+    broadcast created) and shuffle beyond it (no driver collect of the
+    polygon side, no rings broadcast) — identical results either way."""
+    points = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+
+    n_polys, est = pipmod.estimate_polygon_side_bytes(polys)
+    assert n_polys == 100 and est > 0
+
+    n_bc0 = len(pipmod._RING_BROADCASTS)
+    a = pipmod.pip_join(points, polys, broadcast_polys="auto").toPandas()
+    assert len(pipmod._RING_BROADCASTS) == n_bc0 + 1  # broadcast chosen
+
+    # Tiny budget forces the shuffle plan: no new rings broadcast.
+    n_bc1 = len(pipmod._RING_BROADCASTS)
+    b = pipmod.pip_join(
+        points, polys, broadcast_polys="auto", broadcast_budget_bytes=16
+    ).toPandas()
+    assert len(pipmod._RING_BROADCASTS) == n_bc1
+
+    key = ["doc_id", "span_offset", "poly_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_no_persisted_rdds_after_shuffle_pip(docs, spark, sf_dir):
+    """VERDICT r2 #7: the shuffle PIP path must not leak persisted
+    RDDs (the old implementation persisted the cover and never
+    unpersisted it)."""
+    points = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    n = pipmod.pip_join(points, polys, broadcast_polys=False).count()
+    assert n > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """a~b and b~c (no a~c pair) must collapse to ONE cluster with rep
+    = lexicographic min; unpaired docs stay singletons."""
+    from geo_import_spark.operators import dedup as dedupmod
+
+    docs = spark.createDataFrame(
+        [("d-a",), ("d-b",), ("d-c",), ("d-solo",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("d-a", "d-b"), ("d-b", "d-c")], "doc_a string, doc_b string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedupmod.duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "d-solo": "d-solo"}
+
+
+def test_batch_fix_rings_matches_scalar():
+    """The vectorized ring surgery must be value-identical to the
+    scalar fix_semantics on randomized mixed-type batches (open rings,
+    degenerate <4-point rings, 1-point line parts, empties)."""
+    from geo_import_spark.functions import geomkern
+
+    rng = np.random.RandomState(11)
+    gts, ros, xss, yss = [], [], [], []
+    for i in range(300):
+        gt = ["Point", "LineString", "Polygon", "MultiPolygon", "MultiLineString"][
+            i % 5
+        ]
+        if gt == "Point":
+            ro, xs, ys = [0, 1], [float(i)], [float(-i)]
+        else:
+            nrings = rng.randint(1, 4)
+            ro, xs, ys = [0], [], []
+            for _ in range(nrings):
+                npts = int(rng.randint(1, 7))
+                rx = rng.uniform(-50, 50, npts).tolist()
+                ry = rng.uniform(-50, 50, npts).tolist()
+                if gt in ("Polygon", "MultiPolygon") and npts >= 3 and rng.rand() < 0.5:
+                    rx.append(rx[0])  # pre-closed ring
+                    ry.append(ry[0])
+                xs += rx
+                ys += ry
+                ro.append(len(xs))
+        gts.append(gt)
+        ros.append(ro)
+        xss.append(xs)
+        yss.append(ys)
+
+    new_ro, fx, fy, bounds = geomkern.batch_fix_rings(gts, ros, xss, yss)
+    for k in range(len(gts)):
+        _, _, ro_exp, xs_exp, ys_exp = geomkern.fix_semantics(
+            gts[k], [0, len(ros[k]) - 1], ros[k], xss[k], yss[k]
+        )
+        assert list(new_ro[k]) == list(ro_exp), (k, gts[k])
+        np.testing.assert_array_equal(fx[bounds[k]:bounds[k + 1]], np.asarray(xs_exp))
+        np.testing.assert_array_equal(fy[bounds[k]:bounds[k + 1]], np.asarray(ys_exp))
+
+
+def test_knn_haversine_matches_bruteforce(spark):
+    """VERDICT r2 #9: great-circle kNN vs a NumPy haversine brute
+    force, including near-pole queries where the ring-settling margin
+    shrinks with cos(lat) (knn.py conservative margin logic)."""
+    from geo_import_spark.operators import knn as knnmod
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    # a cluster near the north pole so polar queries have neighbors
+    lon[:100] = rng.uniform(-180, 180, 100)
+    lat[:100] = rng.uniform(86, 89.9, 100)
+    pts_pdf = pd.DataFrame(
+        {"doc_id": [f"p-{i:05d}" for i in range(n)], "lon": lon, "lat": lat}
+    )
+    q_pdf = pd.DataFrame(
+        {
+            "query_id": ["q-pole1", "q-pole2", "q-mid", "q-edge"],
+            "qlon": [12.0, -170.0, 33.3, 179.5],
+            "qlat": [89.5, 88.2, -12.0, 0.5],
+        }
+    )
+    points = spark.createDataFrame(pts_pdf)
+    queries = spark.createDataFrame(q_pdf)
+    got = (
+        knnmod.knn_join(queries, points, k=7, level=6, haversine=True)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    def hav(qlon, qlat):
+        rl1, rl2 = np.radians(qlat), np.radians(lat)
+        dlat = np.radians(lat - qlat)
+        dlon = np.radians(lon - qlon)
+        a = (
+            np.sin(dlat / 2) ** 2
+            + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2
+        )
+        return 2.0 * knnmod.EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+    rows = []
+    for _, q in q_pdf.iterrows():
+        d = hav(q["qlon"], q["qlat"])
+        order = np.lexsort((pts_pdf["doc_id"].values, d))[:7]
+        for rank, idx in enumerate(order, 1):
+            rows.append((q["query_id"], pts_pdf["doc_id"].values[idx], rank))
+    exp = (
+        pd.DataFrame(rows, columns=["query_id", "doc_id", "rank"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id", "rank"]], exp, check_dtype=False
+    )
+
+
+def test_windowed_counts_streaming_smoke(spark, sf_dir, tmp_path):
+    """VERDICT r2 #10: the windowed aggregation actually runs under
+    readStream + withWatermark (one file-source micro-batch into a
+    memory sink) and matches the batch plan."""
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from geo_import_spark.streaming import events as eventsmod
+
+    # the file stream source wants a directory of files
+    import shutil
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0.parquet")
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .parquet(str(src_dir))
+        # watermarks require TIMESTAMP (the parquet carries NTZ);
+        # session tz is UTC so the cast is a pure reinterpretation
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = eventsmod.windowed_counts(stream, exact_distinct=False)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    def norm(df):
+        df = df.copy()
+        ws = pd.to_datetime(df["win_start"])
+        if ws.dt.tz is not None:
+            ws = ws.dt.tz_localize(None)
+        df["win_start"] = ws
+        return df.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+
+    got = norm(
+        spark.table("win_smoke")
+        .select("event_type", "win_start", "n", "total_micros")
+        .toPandas()
+    )
+    exp = norm(
+        eventsmod.windowed_counts(ev_batch)
+        .select("event_type", "win_start", "n", "total_micros")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
+
+
+def test_release_ring_broadcasts(docs, spark, sf_dir):
+    """Long-lived sessions can reclaim ring broadcasts explicitly."""
+    points = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    df = pipmod.pip_join(points, polys, broadcast_polys=True)
+    assert df.count() > 0
+    assert pipmod.release_ring_broadcasts() >= 1
+    assert len(pipmod._RING_BROADCASTS) == 0

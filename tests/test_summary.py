@@ -70,7 +70,7 @@ def test_quick_summary_multi_layer_and_fixture():
 
 def test_full_summary_small_geojson_blob(spark):
     blob = open(f"{FIX}/simple_points.json", "rb").read()
-    out = summod.summarize_blob(spark, blob, "geojson")
+    out = summod.summarize_blob(spark, blob, "geojson", size=len(blob))
     assert len(out) == 1
     layer = out[0]
     assert layer["count"] == 2
@@ -84,6 +84,9 @@ def test_abbreviated_summary_over_size_gate(spark):
         spark, blob, "geojson", size=summod.ABBREVIATE_SUMMARY_SIZE + 1
     )
     assert out == []
+    # missing declared size == missing X-Blob-Length header: the
+    # reference warns and abbreviates (summary.js:63-90)
+    assert summod.summarize_blob(spark, blob, "geojson") == []
 
 
 def test_table_summary_is_metadata_only(spark, sf_dir, tmp_path):
@@ -105,7 +108,7 @@ def test_full_summary_kml_blob(spark):
     """KML routes through the same full-summary dispatch (no quick
     path — canSummarizeQuickly is shapefile-only in the reference)."""
     blob = open(f"{FIX}/simple_points.kml", "rb").read()
-    out = summod.summarize_blob(spark, blob, "kml")
+    out = summod.summarize_blob(spark, blob, "kml", size=len(blob))
     assert len(out) == 1
     assert out[0]["count"] == 2
     assert out[0]["geomType"] == "point"
