@@ -38,6 +38,7 @@ JACCARD_THRESHOLD = 0.2
 JACCARD_MAX_DF_FRAC = 0.01  # hot-shingle cap: df > 1% of docs dropped pre-join
 ANN_QUERIES = 10
 ANN_K = 10
+EMBED_DUP_THRESHOLD = 0.35  # off-boundary at every SF (min |cos-t| over ALL pairs >= 1.2e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +187,20 @@ def _dedup_clusters(spark, sf_dir):
     return dedupmod.duplicate_clusters(_docs(spark, sf_dir))
 
 
+def _quality_score(spark, sf_dir):
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def _rolling_fingerprint(spark, sf_dir):
+    return textops.rolling_fingerprint(_docs(spark, sf_dir))
+
+
+def _embed_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the LSH bucket join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=EMBED_DUP_THRESHOLD)
+
+
 def _minhash_sig(spark, sf_dir):
     return dedupmod.minhash_signatures(_docs(spark, sf_dir))
 
@@ -298,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
         "simhash": _simhash,
+        "quality_score": _quality_score,
+        "rolling_fingerprint": _rolling_fingerprint,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_signatures": _minhash_sig,
         "minhash_lsh_pairs": _minhash_lsh,
@@ -305,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_buckets": _ann_buckets,
         "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_near_dups": _embed_near_dups,
         "media_features": _media_features,
         "events_window": _events_window,
         "sessionize": _sessionize,
@@ -428,6 +446,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.SQL_EXACT_DEDUP,
         "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
         "simhash": textops.SQL_SIMHASH,
+        "quality_score": textops.SQL_QUALITY_SCORE,
+        "rolling_fingerprint": textops.SQL_ROLLING_FINGERPRINT,
         "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(
             threshold=JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
         ),
@@ -440,6 +460,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": similarity.SQL_LSH_BUCKETS,
         "ann_lsh_topk": similarity.SQL_LSH_TOPK.format(
             n_queries=ANN_QUERIES, k=ANN_K
+        ),
+        "embedding_near_dups": similarity.SQL_EMBED_NEAR_DUPS.format(
+            threshold=EMBED_DUP_THRESHOLD
         ),
         "media_features": multimodal.sql_media_features(
             """

@@ -139,6 +139,80 @@ def lsh_topk(
     )
 
 
+EMBED_BANDS = 8  # independent hash tables (band 0 == the lsh_buckets planes)
+EMBED_ROWS_PER_BAND = 8  # hyperplanes per band
+
+
+def _band_bucket_expr(v, band: int):
+    """Bucket within one band: bit jj set iff dot(plane_{band*R+jj}, v) > 0,
+    planes drawn from the same integer grid as _bucket_expr (so band 0
+    reproduces the lsh_buckets bucket exactly)."""
+    bucket = None
+    for jj in range(EMBED_ROWS_PER_BAND):
+        j = band * EMBED_ROWS_PER_BAND + jj
+        plane = [_plane_component(j, i) for i in range(DIM)]
+        d = _dot(F.array(*[F.lit(p) for p in plane]), v)
+        bit = F.when(d > 0, F.lit(1 << jj)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family variant
+    of the LSH path, banded exactly like the MinHash pairs operator:
+    each vector is hashed into EMBED_BANDS independent band tables
+    (EMBED_ROWS_PER_BAND hyperplanes each), candidates are the
+    same-(band,bucket) self-join unioned across bands via one explode
+    (never an all-pairs cross join), deduped, then refined by the
+    exact cosine >= threshold from a join back to the vectors.
+
+    Recall: a pair is a candidate if ANY band agrees on all R plane
+    signs — 1-(1-p^R)^B with p = 1-theta/pi, ~94% at cos 0.9
+    (r=8, b=8), degrading smoothly for looser thresholds; raise B for
+    more recall at linear candidate cost. Candidate volume stays
+    ~p_rand^R*B of all pairs (~3% for random vectors), so the plan is
+    three shuffles total (band self-join + pair distinct + refine
+    joins) regardless of corpus size. Output: (vec_id_a, vec_id_b).
+    """
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    keyed = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(band)),
+                        _band_bucket_expr(F.col("v"), band).cast("string"),
+                    )
+                    for band in range(EMBED_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = keyed.select(F.col("vec_id").alias("vec_id_a"), "bucket")
+    b = keyed.select(F.col("vec_id").alias("vec_id_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .filter(cos >= threshold)
+        .select("vec_id_a", "vec_id_b")
+    )
+
+
 # --- SQL mirrors ------------------------------------------------------------
 
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -201,4 +275,30 @@ SELECT query_id, vec_id, rank FROM (
                                  ORDER BY {_SQL_COS} DESC, vec_id ASC) AS INTEGER) AS rank
   FROM cand
 ) WHERE rank <= {{k}}
+"""
+
+SQL_EMBED_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+keyed AS (
+  SELECT vec_id, unnest(list_transform(range(0, {EMBED_BANDS}), band ->
+    CAST(band AS VARCHAR) || ':' ||
+    CAST(list_sum(list_transform(range(0, {EMBED_ROWS_PER_BAND}), jj ->
+      CASE WHEN list_sum(list_transform(range(1, {DIM + 1}), i ->
+             (((((band * {EMBED_ROWS_PER_BAND} + jj) * {DIM} + (i - 1)) * 2654435761)
+                 % {PLANE_MOD}) / {float(PLANE_MOD)} - 0.5) * v[i])) > 0
+      THEN CAST(1 AS BIGINT) << jj ELSE 0 END)) AS VARCHAR))) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.vec_id_a, c.vec_id_b
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_id_a
+JOIN e eb ON eb.vec_id = c.vec_id_b
+WHERE list_sum(list_transform(range(1, {DIM + 1}), i -> ea.v[i] * eb.v[i]))
+   / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> ea.v[i] * ea.v[i])))
+      * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> eb.v[i] * eb.v[i])))) >= {{threshold}}
 """

@@ -85,6 +85,65 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Per-doc quality signals for training-data filtering: char
+    length, punctuation ratio, mean token length, and a coarse
+    keep/flag class — the standard length/punct/stopword heuristics
+    (reference model: C4/Gopher-style quality rules, re-expressed as
+    JVM column arithmetic).
+
+    All ratios are int/int double divisions (IEEE-exact in both
+    engines); the class thresholds compare those exact doubles, so
+    the classification is engine-portable.
+
+    documents(doc_id, text, ...) -> (doc_id, n_chars, punct_ratio,
+    mean_token_len, quality_class).
+    """
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    mean_tok = tok_chars.cast("double") / n_tokens.cast("double")
+    cls = (
+        F.when(n_tokens < 5, F.lit("too_short"))
+        .when(mean_tok > 12.0, F.lit("gibberish"))
+        .otherwise(F.lit("keep"))
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok.alias("mean_token_len"),
+        cls.alias("quality_class"),
+    )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 1 << 28  # acc*31 + 0x10FFFF < 2^34: exact in int64
+
+
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over the character
+    stream: h = fold(h * 31 + codepoint) mod 2^28, h0 = 0. Content-
+    order-sensitive (unlike the md5-of-sorted-tokens fingerprint) and
+    computable incrementally over appended spans at scale. Pure JVM
+    fold over the char array — one narrow scan, no shuffle.
+
+    documents(doc_id, text, ...) -> (doc_id, rolling_hash: long).
+    """
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+    return documents.select("doc_id", roll.alias("rolling_hash"))
+
+
 def simhash(documents: DataFrame, bits: int = 28) -> DataFrame:
     """SimHash near-dup signature over the distinct-token set.
 
@@ -150,6 +209,38 @@ FROM documents GROUP BY md5(text)
 
 SQL_DOC_FINGERPRINT = f"""
 SELECT doc_id, md5(array_to_string({SQL_TOKENS}, ' ')) AS fingerprint
+FROM documents
+"""
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKENS} AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_punct, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 12.0 THEN 'gibberish'
+            ELSE 'keep' END AS quality_class
+FROM m
+"""
+
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
+             c -> CAST(ord(c) AS BIGINT))),
+         (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) AS BIGINT) AS rolling_hash
 FROM documents
 """
 
