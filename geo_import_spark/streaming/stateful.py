@@ -31,7 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.StringType()),
+        T.StructField("user_id", T.LongType()),
         T.StructField("session_start", T.TimestampType()),
         T.StructField("session_end", T.TimestampType()),
         T.StructField("n_events", T.LongType()),
