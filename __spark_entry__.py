@@ -92,6 +92,15 @@ def _tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVER_Z = 7
+
+
+def _poly_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster←vector: covering z/x/y quadkey tiles per polygon bbox."""
+    polys = corpus.polygons(spark, sf_dir)
+    return tiling.cover_tiles(polys, z=COVER_Z)
+
+
 def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via k-ring candidate expansion + window re-rank (SURVEY §4.2.4)."""
     docs = corpus.documents(spark, sf_dir)
@@ -191,6 +200,11 @@ def _quality_score(spark, sf_dir):
     return textops.quality_score(_docs(spark, sf_dir))
 
 
+def _lang_id(spark, sf_dir):
+    """N-gram-profile language identification (training-data op)."""
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
 def _rolling_fingerprint(spark, sf_dir):
     return textops.rolling_fingerprint(_docs(spark, sf_dir))
 
@@ -222,6 +236,12 @@ def _ann_buckets(spark, sf_dir):
 def _ann_lsh_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: strided-sample coarse quantizer, nprobe-cell search."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
 
 
 def _media_features(spark, sf_dir):
@@ -304,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_concave": _pip_join_concave,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
+        "poly_tile_cover": _poly_tile_cover,
         "knn": _knn,
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
@@ -314,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "simhash": _simhash,
         "quality_score": _quality_score,
+        "lang_id": _lang_id,
         "rolling_fingerprint": _rolling_fingerprint,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_signatures": _minhash_sig,
@@ -322,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_buckets": _ann_buckets,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embed_near_dups,
         "media_features": _media_features,
         "events_window": _events_window,
@@ -356,6 +379,32 @@ SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
 FROM pts p JOIN lpolys g
   ON (p.lon > g.x0 AND p.lon < g.x1 AND p.lat > g.y0 AND p.lat < g.ym)
   OR (p.lon > g.x0 AND p.lon < g.xm AND p.lat > g.ym AND p.lat < g.y1)
+"""
+
+# poly_tile_cover mirror: same slippy-y formula as _SQL_TILES (proven
+# bit-identical to the NumPy tile_xy by the tile_assign hash check),
+# bbox corners -> tile ranges -> generate_series double-unnest.
+_CQK_DIGITS = (
+    f"list_transform(range(1, {COVER_Z + 1}), i -> "
+    f"CAST(((x >> ({COVER_Z} - i)) & 1) + 2 * ((y >> ({COVER_Z} - i)) & 1) AS VARCHAR))"
+)
+
+_SQL_POLY_TILE_COVER = f"""
+WITH {_POLYS}, b AS (
+  SELECT poly_id,
+         CAST(floor((minx + 180.0) / 360.0 * {1 << COVER_Z}) AS BIGINT) AS x0,
+         CAST(floor((maxx + 180.0) / 360.0 * {1 << COVER_Z}) AS BIGINT) AS x1,
+         CAST(floor((1.0 - ln(tan(radians(maxy)) + 1.0 / cos(radians(maxy))) / pi()) / 2.0 * {1 << COVER_Z}) AS BIGINT) AS y0,
+         CAST(floor((1.0 - ln(tan(radians(miny)) + 1.0 / cos(radians(miny))) / pi()) / 2.0 * {1 << COVER_Z}) AS BIGINT) AS y1
+  FROM polys
+), xy AS (
+  SELECT poly_id, unnest(generate_series(x0, x1)) AS x, y0, y1 FROM b
+), xyy AS (
+  SELECT poly_id, x, unnest(generate_series(y0, y1)) AS y FROM xy
+)
+SELECT poly_id, CAST({COVER_Z} AS INTEGER) AS z, x, y,
+       array_to_string({_CQK_DIGITS}, '') AS quadkey
+FROM xyy
 """
 
 _QK_DIGITS = (
@@ -417,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT poly_id, COUNT(*) AS n_docs FROM hits GROUP BY poly_id
         """,
         "tile_assign": _SQL_TILES,
+        "poly_tile_cover": _SQL_POLY_TILE_COVER,
         "knn": _SQL_KNN,
         "layer_bbox": f"""
             WITH {_POLYS}
@@ -447,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
         "simhash": textops.SQL_SIMHASH,
         "quality_score": textops.SQL_QUALITY_SCORE,
+        "lang_id": textops.SQL_LANG_ID,
         "rolling_fingerprint": textops.SQL_ROLLING_FINGERPRINT,
         "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(
             threshold=JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
@@ -460,6 +511,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": similarity.SQL_LSH_BUCKETS,
         "ann_lsh_topk": similarity.SQL_LSH_TOPK.format(
             n_queries=ANN_QUERIES, k=ANN_K
+        ),
+        "ann_ivf_topk": similarity.SQL_IVF_TOPK.format(
+            n_queries=ANN_QUERIES,
+            k=ANN_K,
+            n_cells=similarity.IVF_CELLS,
+            nprobe=similarity.IVF_NPROBE,
         ),
         "embedding_near_dups": similarity.SQL_EMBED_NEAR_DUPS.format(
             threshold=EMBED_DUP_THRESHOLD

@@ -213,6 +213,81 @@ def embedding_near_dups(
     )
 
 
+IVF_CELLS = 16  # coarse-quantizer cells (production: kmeans|| trained)
+IVF_NPROBE = 4  # probed cells per query
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the second scale path beside
+    LSH (lsh_topk): a coarse quantizer partitions the corpus into
+    n_cells inverted lists; each query probes only its nprobe nearest
+    cells and re-ranks exactly within them.
+
+    The coarse quantizer here is a deterministic strided sample
+    (centroids = vectors with vec_id < n_cells) so the DuckDB oracle
+    can derive the identical centroids from the same table; at
+    production scale you'd train kmeans|| centroids on a sample — the
+    plan shape below is unchanged (centroids are always tiny
+    driver/broadcast state, the corpus is assigned cell ids in one
+    narrow JVM pass and shuffled ONCE by cell — or pre-bucketed at
+    write time — and probes are a broadcast join).
+
+    Assignment is argmax cosine vs each centroid, computed as a JVM
+    literal-array fold (no Python, no per-vector join); ties take the
+    smallest centroid id (array_position returns the FIRST max).
+    Output: (query_id, vec_id, rank) — rank over the probed cells
+    only, so recall < 1 is possible (tested vs cosine_topk).
+    """
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    # Coarse-quantizer state: n_cells × DIM doubles — driver-side by
+    # construction (like a trained kmeans model), never data-sized.
+    cens = [
+        r["v"]
+        for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+
+    def _cos_lit(cen, v):
+        c = F.array(*[F.lit(x) for x in cen])
+        return _dot(c, v) / (F.sqrt(_dot(c, c)) * F.sqrt(_dot(v, v)))
+
+    def _scores(v):
+        return F.array(*[_cos_lit(cen, v) for cen in cens])
+
+    # 1-based cell id = first position of the max score.
+    cell = F.array_position(_scores(F.col("v")), F.array_max(_scores(F.col("v")))).cast("int")
+    corpus = e.withColumn("cell", cell)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.posexplode(_scores(F.col("v"))).alias("cpos", "score"),
+    )
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cpos").asc()
+    )
+    probes = (
+        q.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", (F.col("cpos") + 1).cast("int").alias("cell"))
+    )
+    cand = corpus.join(F.broadcast(probes), "cell")
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
 # --- SQL mirrors ------------------------------------------------------------
 
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -268,6 +343,47 @@ probes AS (
 cand AS (
   SELECT p.query_id, eb.vec_id, p.qv, eb.v
   FROM eb JOIN probes p ON eb.bucket = p.bucket
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY {_SQL_COS} DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= {{k}}
+"""
+
+# IVF mirror: centroids are derived from the same table (vec_id <
+# n_cells), scores via a 16-way cross join + row_number — semantics
+# identical to the Spark literal-array argmax (first max on ties).
+SQL_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {{n_cells}}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum(list_transform(range(1, {DIM + 1}), i -> c.cv[i] * e.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> c.cv[i] * c.cv[i])))
+              * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> e.v[i] * e.v[i])))) AS score
+  FROM e CROSS JOIN cen c
+),
+assigned AS (
+  SELECT vec_id, v, CAST(cid + 1 AS INTEGER) AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, CAST(cid + 1 AS INTEGER) AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cid ASC) AS rn
+    FROM scored WHERE vec_id < {{n_queries}}
+  ) WHERE rn <= {{nprobe}}
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id, a.v
+  FROM assigned a JOIN probes p ON a.cell = p.cell
 )
 SELECT query_id, vec_id, rank FROM (
   SELECT query_id, vec_id,

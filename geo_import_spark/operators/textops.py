@@ -176,11 +176,92 @@ def simhash(documents: DataFrame, bits: int = 28) -> DataFrame:
     return documents.select("doc_id", sig.alias("simhash"))
 
 
+# --- language identification -------------------------------------------------
+
+# Character n-gram profiles: high-frequency trigrams per language
+# (standard Cavnar-Trenkle-style profile method, shrunk to the
+# most-discriminative markers so the scoring stays a fixed-size JVM
+# expression). Scores are exact integer substring-occurrence counts,
+# so the classification is engine-portable bit-for-bit.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", " an", "and", "ing", " of", "ion", " is"),
+    "de": ("der", "die", "und", "ein", "sch", "ich", "cht", " zu"),
+    "fr": (" le", "les", "ent", "que", " et", "ais", "eur", " un"),
+    "es": (" de", " la", "ión", " el", " qu", "ado", "nte", " en"),
+}
+LANGS = tuple(LANG_PROFILES)  # scoring/tie-break order
+
+
+def _occurrences(text_col, needle: str):
+    """Exact count of (possibly overlapping-start) occurrences of a
+    fixed trigram: (len(s) - len(replace(s, t, ''))) / len(t).
+    Integer-exact and identical in the SQL mirror."""
+    return (
+        F.length(text_col) - F.length(F.replace(text_col, F.lit(needle)))
+    ) / len(needle)
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """N-gram language identification over the text column.
+
+    Per language L: score_L = total occurrences of L's profile
+    trigrams in lower(' ' || text || ' ') (padded so word-boundary
+    trigrams fire at the edges). lang = argmax, ties broken by LANGS
+    order, all-zero -> 'und'. One narrow JVM scan, no shuffle, no
+    Python — at 100 TB this is a pure map stage.
+
+    documents(doc_id, text, ...) -> (doc_id, score_en, score_de,
+    score_fr, score_es, lang).
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, t) for t in profile), F.lit(0).cast("double")
+        ).cast("long")
+        for lang, profile in LANG_PROFILES.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in LANGS])
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang in LANGS:  # first language hitting the max wins
+        pick = pick.when(scores[lang] == best, F.lit(lang))
+    return documents.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANGS],
+        pick.alias("lang"),
+    )
+
+
 # --- SQL mirrors ------------------------------------------------------------
 
 SQL_TOKENS = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
 )
+
+
+def _sql_lang_score(profile: tuple[str, ...]) -> str:
+    terms = " + ".join(
+        f"(length(s) - length(replace(s, '{t}', ''))) / {len(t)}" for t in profile
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_SQL_LANG_PICK = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+    f"WHEN score_{lang} = best THEN '{lang}'" for lang in LANGS
+) + " END"
+
+SQL_LANG_ID = f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+scored AS (
+  SELECT doc_id,
+         {", ".join(f"{_sql_lang_score(LANG_PROFILES[lang])} AS score_{lang}" for lang in LANGS)}
+  FROM p
+), m AS (
+  SELECT *, greatest({", ".join(f"score_{lang}" for lang in LANGS)}) AS best FROM scored
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in LANGS)},
+       {_SQL_LANG_PICK} AS lang
+FROM m
+"""
 SQL_HASH28 = "CAST('0x' || substr(md5({x}), 1, 7) AS BIGINT)"
 
 SQL_TEXT_STATS = f"""

@@ -94,6 +94,72 @@ def assign_tiles_from_anchors(media: DataFrame, anchors: DataFrame, z: int = 12)
     )
 
 
+COVER_TYPE = T.StructType(
+    [
+        T.StructField("x0", T.LongType()),
+        T.StructField("x1", T.LongType()),
+        T.StructField("y0", T.LongType()),
+        T.StructField("y1", T.LongType()),
+    ]
+)
+
+
+def make_cover_udf(z: int):
+    @pandas_udf(COVER_TYPE)
+    def tile_bounds(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+    ) -> pd.DataFrame:
+        x0, y1 = tilemod.tile_xy(minx.values, miny.values, z)  # south edge: larger y
+        x1, y0 = tilemod.tile_xy(maxx.values, maxy.values, z)  # north edge: smaller y
+        return pd.DataFrame({"x0": x0, "x1": x1, "y0": y0, "y1": y1})
+
+    return tile_bounds
+
+
+def cover_tiles(polygons: DataFrame, z: int = 7) -> DataFrame:
+    """Covering raster tiles per polygon bbox at zoom z — the
+    raster←vector direction complementing assign_tiles (vector→raster):
+    which tiles must be rendered/fetched for each polygon.
+
+    The four corner projections reuse the same NumPy slippy math as
+    assign_tiles (one Arrow batch per partition, 4 scalars per
+    polygon); the tile enumeration is a JVM sequence() double-explode
+    and the quadkey is pure integer bit math — so the fan-out (the
+    data-sized part: a polygon spanning many tiles) never touches
+    Python. For axis-aligned polygons (the corpus layers) the bbox
+    cover IS the exact polygon cover; for general shapes it is the
+    standard coarse cover that a ray-cast refinement would prune.
+
+    polygons(poly_id, minx, miny, maxx, maxy, ...) ->
+    (poly_id, z, x, y, quadkey), one row per covered tile.
+    """
+    b = polygons.withColumn(
+        "tb", make_cover_udf(z)("minx", "miny", "maxx", "maxy")
+    )
+    xy = b.select(
+        "poly_id",
+        F.explode(F.sequence(F.col("tb.x0"), F.col("tb.x1"))).alias("x"),
+        F.col("tb.y0").alias("y0"),
+        F.col("tb.y1").alias("y1"),
+    ).select(
+        "poly_id", "x", F.explode(F.sequence("y0", "y1")).alias("y")
+    )
+    digits = [
+        (
+            F.shiftright(F.col("x"), z - i).bitwiseAND(F.lit(1))
+            + F.lit(2) * F.shiftright(F.col("y"), z - i).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for i in range(1, z + 1)
+    ]
+    return xy.select(
+        "poly_id",
+        F.lit(z).alias("z"),
+        "x",
+        "y",
+        F.concat(*digits).alias("quadkey"),
+    )
+
+
 def first_geometry_anchor(points: DataFrame) -> DataFrame:
     """Per-doc anchor = geometry span with the smallest span_offset.
 
