@@ -16,6 +16,12 @@ new engine's core physical strategy (§4.2.1-2):
      per executor) and each Arrow batch groups candidates by poly_id,
      so Python-bridge bytes are O(candidates) + O(polygons) — never
      O(pairs x vertices)
+  5. rectangle fast path (broadcast mode): polygons whose even-odd
+     interior IS their bbox are flagged once at collect time; their
+     strictly-interior candidates are accepted inside whole-stage
+     codegen and never reach Python — boundary candidates and
+     non-rectangular polygons keep the exact ray cast, so results are
+     bit-identical to the pure-UDF plan
 
 Scale notes (100 TB): the shuffle key is cell_id — bounded fan-out on
 both sides (points x |levels|, polys x max_cells). The physical plan
@@ -204,8 +210,31 @@ COVER_ROW_SCHEMA = T.StructType(
         T.StructField("maxy", T.DoubleType()),
         T.StructField("level", T.IntegerType()),
         T.StructField("cell_id", T.LongType()),
+        T.StructField("is_rect", T.BooleanType()),
     ]
 )
+
+
+def _is_exact_bbox(ro: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff the polygon's even-odd interior IS its bbox: a single
+    closed 5-vertex ring whose 4 distinct corners are exactly the bbox
+    corners with every edge axis-aligned (the edge check rules out the
+    bowtie orderings, whose even-odd interior is NOT the bbox).
+    Drives the rectangle fast path: for such polygons the JVM bbox
+    prefilter already decides strict-interior containment exactly, so
+    those candidates never need the Python ray cast."""
+    if len(ro) != 2 or ro[0] != 0 or ro[1] != 5 or xs.size != 5:
+        return False
+    if xs[0] != xs[4] or ys[0] != ys[4]:
+        return False
+    minx, maxx = xs.min(), xs.max()
+    miny, maxy = ys.min(), ys.max()
+    if minx == maxx or miny == maxy:
+        return False
+    corners = set(zip(xs[:4].tolist(), ys[:4].tolist()))
+    if corners != {(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)}:
+        return False
+    return all(xs[i] == xs[i + 1] or ys[i] == ys[i + 1] for i in range(4))
 
 
 def _collect_rings_and_cover(polygons: DataFrame, base_level: int, max_cells: int):
@@ -237,8 +266,11 @@ def _collect_rings_and_cover(polygons: DataFrame, base_level: int, max_cells: in
         miny, maxy = float(ys.min()), float(ys.max())
         cover, lv = cellmod.covering_bbox(minx, miny, maxx, maxy, base_level, max_cells)
         levels.add(int(lv))
+        rect = _is_exact_bbox(np.asarray(r["ro"], dtype=np.int64), xs, ys)
         for cid in cover.tolist():
-            cover_rows.append((r["poly_id"], minx, miny, maxx, maxy, int(lv), cid))
+            cover_rows.append(
+                (r["poly_id"], minx, miny, maxx, maxy, int(lv), cid, rect)
+            )
     return rings, cover_rows, sorted(levels)
 
 
@@ -377,20 +409,38 @@ def pip_join(
     # JVM-side bbox pre-filter kills most false candidates inside
     # whole-stage codegen; only bbox-passing pairs reach the Python
     # ray cast (for convex/rectangular polygons that's ~the hit set).
-    cand = (
-        pts_cells.join(cover, join_keys)
-        .filter(
-            (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
-            & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
-        )
-        .select(*point_cols, "lon", "lat", "poly_id")
+    cand0 = pts_cells.join(cover, join_keys).filter(
+        (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
     )
 
     if broadcast_polys:
+        # Rectangle fast path: for polygons whose even-odd interior IS
+        # their bbox (_is_exact_bbox, decided once per polygon at
+        # collect time), a strictly-interior candidate is contained by
+        # definition — it never crosses the Python bridge. Boundary
+        # candidates (lon/lat == a bbox edge) and non-rectangular
+        # polygons still go through the exact ray cast, so semantics
+        # are bit-identical to the pure-UDF plan; only the Python
+        # byte volume changes.
+        strict = (
+            (F.col("lon") > F.col("minx")) & (F.col("lon") < F.col("maxx"))
+            & (F.col("lat") > F.col("miny")) & (F.col("lat") < F.col("maxy"))
+        )
+        cand = cand0.select(
+            *point_cols, "lon", "lat", "poly_id",
+            (F.col("is_rect") & strict).alias("bbox_exact"),
+        )
         rings_bc = spark.sparkContext.broadcast(rings)
         _RING_BROADCASTS.append(rings_bc)
-        refined = cand.filter(make_pip_bcast_udf(rings_bc)("lon", "lat", "poly_id"))
-        return refined.select(*point_cols, "poly_id")
+        fast = cand.filter(F.col("bbox_exact")).select(*point_cols, "poly_id")
+        rest = cand.filter(~F.col("bbox_exact"))
+        refined = rest.filter(
+            make_pip_bcast_udf(rings_bc)("lon", "lat", "poly_id")
+        ).select(*point_cols, "poly_id")
+        return fast.unionAll(refined)
+
+    cand = cand0.select(*point_cols, "lon", "lat", "poly_id")
 
     polys_geom = polygons.select(
         "poly_id",
