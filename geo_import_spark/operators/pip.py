@@ -17,11 +17,12 @@ new engine's core physical strategy (§4.2.1-2):
      so Python-bridge bytes are O(candidates) + O(polygons) — never
      O(pairs x vertices)
   5. rectangle fast path (broadcast mode): polygons whose even-odd
-     interior IS their bbox are flagged once at collect time; their
-     strictly-interior candidates are accepted inside whole-stage
-     codegen and never reach Python — boundary candidates and
-     non-rectangular polygons keep the exact ray cast, so results are
-     bit-identical to the pure-UDF plan
+     interior IS their bbox are flagged once at collect time; the JVM
+     decides strictly-interior candidates inside whole-stage codegen
+     and the Arrow UDF skips the ray cast for them (single point-side
+     pass — no union re-scan). Boundary candidates and non-rectangular
+     polygons keep the exact ray cast, so results are bit-identical
+     to the pure-UDF plan
 
 Scale notes (100 TB): the shuffle key is cell_id — bounded fan-out on
 both sides (points x |levels|, polys x max_cells). The physical plan
@@ -172,30 +173,40 @@ def polygon_covering(polygons: DataFrame, base_level: int = 13, max_cells: int =
 
 
 def make_pip_bcast_udf(rings_bc):
-    """pandas UDF over (lon, lat, poly_id) candidates: polygon rings
-    come from a Spark broadcast (one copy per executor, NOT one copy
-    per candidate pair). Within an Arrow batch, candidates are grouped
-    by poly_id so each polygon's edge arrays are built once."""
+    """pandas UDF over (lon, lat, poly_id, bbox_exact) candidates:
+    polygon rings come from a Spark broadcast (one copy per executor,
+    NOT one copy per candidate pair). Within an Arrow batch,
+    candidates are grouped by poly_id so each polygon's edge arrays
+    are built once. Rows pre-decided by the JVM rectangle fast path
+    (bbox_exact=True) are accepted without touching the ray cast —
+    the plan stays ONE point-side pass (no union re-scan), bridge
+    bytes stay O(candidates), and ray-cast CPU drops to the
+    non-rectangle / boundary remainder."""
 
     @pandas_udf(T.BooleanType())
-    def contains(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+    def contains(
+        lon: pd.Series, lat: pd.Series, poly_id: pd.Series, bbox_exact: pd.Series
+    ) -> pd.Series:
         from geo_import_spark.functions.geomkern import points_in_single_polygon
 
         n = len(lon)
         if n == 0:
             return pd.Series([], dtype=bool)
-        px = lon.values.astype(np.float64)
-        py = lat.values.astype(np.float64)
-        codes, uniques = pd.factorize(poly_id, sort=False)
+        res = bbox_exact.fillna(False).values.astype(bool).copy()
+        todo = np.nonzero(~res)[0]
+        if todo.size == 0:
+            return pd.Series(res)
+        px = lon.values[todo].astype(np.float64)
+        py = lat.values[todo].astype(np.float64)
+        codes, uniques = pd.factorize(poly_id.values[todo], sort=False)
         polys = rings_bc.value
-        res = np.zeros(n, dtype=bool)
         for j, pid in enumerate(uniques):
             geom = polys.get(pid)
             if geom is None:
                 continue
             ro, xs, ys = geom
             idx = np.nonzero(codes == j)[0]
-            res[idx] = points_in_single_polygon(px[idx], py[idx], ro, xs, ys)
+            res[todo[idx]] = points_in_single_polygon(px[idx], py[idx], ro, xs, ys)
         return pd.Series(res)
 
     return contains
@@ -418,11 +429,14 @@ def pip_join(
         # Rectangle fast path: for polygons whose even-odd interior IS
         # their bbox (_is_exact_bbox, decided once per polygon at
         # collect time), a strictly-interior candidate is contained by
-        # definition — it never crosses the Python bridge. Boundary
-        # candidates (lon/lat == a bbox edge) and non-rectangular
-        # polygons still go through the exact ray cast, so semantics
-        # are bit-identical to the pure-UDF plan; only the Python
-        # byte volume changes.
+        # definition — the JVM computes that verdict inside whole-stage
+        # codegen and the Arrow UDF skips the ray cast for those rows.
+        # Boundary candidates (lon/lat == a bbox edge) and
+        # non-rectangular polygons are still ray-cast, so semantics are
+        # bit-identical to the pure-UDF plan. Deliberately ONE pass —
+        # a filter/union split would re-scan and re-join the point
+        # side (2x IO at scale), which costs more than the
+        # O(candidates) bridge bytes it saves.
         strict = (
             (F.col("lon") > F.col("minx")) & (F.col("lon") < F.col("maxx"))
             & (F.col("lat") > F.col("miny")) & (F.col("lat") < F.col("maxy"))
@@ -433,12 +447,10 @@ def pip_join(
         )
         rings_bc = spark.sparkContext.broadcast(rings)
         _RING_BROADCASTS.append(rings_bc)
-        fast = cand.filter(F.col("bbox_exact")).select(*point_cols, "poly_id")
-        rest = cand.filter(~F.col("bbox_exact"))
-        refined = rest.filter(
-            make_pip_bcast_udf(rings_bc)("lon", "lat", "poly_id")
-        ).select(*point_cols, "poly_id")
-        return fast.unionAll(refined)
+        refined = cand.filter(
+            make_pip_bcast_udf(rings_bc)("lon", "lat", "poly_id", "bbox_exact")
+        )
+        return refined.select(*point_cols, "poly_id")
 
     cand = cand0.select(*point_cols, "lon", "lat", "poly_id")
 
