@@ -53,6 +53,50 @@ class Table:
         d = os.path.join(self.root, "manifests")
         return sorted(os.listdir(d))
 
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load a specific manifest by id (time-travel lookup)."""
+        path = os.path.join(
+            self.root, "manifests", f"snapshot-{snapshot_id:06d}.json"
+        )
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshot_log(self) -> list[dict]:
+        """History view (Iceberg `.history` equivalent): one row per
+        committed snapshot — id, parent, commit time, rows, and the
+        change kind inferred from the file-set delta (append = parent
+        files all retained; overwrite = file set replaced)."""
+        log = []
+        for name in self.snapshots():
+            with open(os.path.join(self.root, "manifests", name)) as f:
+                s = json.load(f)
+            if s["parent_id"] is None:
+                kind = "create"
+            else:
+                try:
+                    parent_paths = {
+                        f_["path"] for f_ in self.snapshot(s["parent_id"])["files"]
+                    }
+                except FileNotFoundError:  # parent expired
+                    parent_paths = None
+                kind = (
+                    "unknown"
+                    if parent_paths is None
+                    else "append"
+                    if parent_paths <= {f_["path"] for f_ in s["files"]}
+                    else "overwrite"
+                )
+            log.append(
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "parent_id": s["parent_id"],
+                    "committed_at": s["committed_at"],
+                    "rows": s["rows"],
+                    "kind": kind,
+                }
+            )
+        return log
+
     # -- write ---------------------------------------------------------------
 
     def _collect_files(self, data_dir: str) -> list[dict]:
@@ -170,8 +214,40 @@ class Table:
     ) -> dict:
         parent = self.current_snapshot()
         if mode == "append" and parent:
+            # Appending a different schema would poison every future
+            # scan of the mixed file set (Parquet type mismatch at
+            # read time, far from the write that caused it) — fail
+            # the commit instead. Name->type comparison, order-
+            # insensitive, like Iceberg's schema compatibility check.
+            old = parent.get("schema")
+            if old and schema:
+                # types may be nested dicts (struct/array) — compare
+                # canonical JSON, not raw values
+                old_f = {
+                    f_["name"]: json.dumps(f_["type"], sort_keys=True)
+                    for f_ in old["fields"]
+                }
+                new_f = {
+                    f_["name"]: json.dumps(f_["type"], sort_keys=True)
+                    for f_ in schema["fields"]
+                }
+                if old_f != new_f:
+                    diff = sorted(
+                        k
+                        for k in old_f.keys() | new_f.keys()
+                        if old_f.get(k) != new_f.get(k)
+                    )
+                    raise ValueError(
+                        f"append schema mismatch vs current snapshot: {diff}"
+                    )
             files = parent["files"] + files
-        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        # ids come from the manifest dir, not parent+1: after a
+        # rollback the parent is an old snapshot but ids must never be
+        # reused (manifests are immutable history).
+        existing = self.snapshots()
+        snap_id = (
+            int(existing[-1].split("-")[1].split(".")[0]) + 1 if existing else 0
+        )
         snapshot = {
             "snapshot_id": snap_id,
             "table_id": self.table_id,
@@ -195,13 +271,173 @@ class Table:
 
     # -- read ----------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        snap = self.current_snapshot()
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to `snapshot_id`
+        (Iceberg `VERSION AS OF`): manifests are immutable, so any
+        historical file set is still readable until expired."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
         if snap is None or not snap["files"]:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         return self._reader(
             spark, [f["path"] for f in snap["files"]], snap.get("base_path")
         )
+
+    def read_incremental(
+        self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Changelog scan (Iceberg incremental read): ONLY the files
+        added after `from_snapshot_id` up to `to_snapshot_id` (default:
+        current). This is what a downstream consumer of the pipeline's
+        append-mode lineage/metrics tables polls — at 100 TB it reads
+        the delta, never the table. Appends only: an overwrite snapshot
+        in the range invalidates file-delta semantics, so it raises."""
+        to_snap = (
+            self.current_snapshot()
+            if to_snapshot_id is None
+            else self.snapshot(to_snapshot_id)
+        )
+        from_snap = self.snapshot(from_snapshot_id)
+        from_paths = {f["path"] for f in from_snap["files"]}
+        to_paths = {f["path"] for f in to_snap["files"]}
+        if not from_paths <= to_paths:
+            raise ValueError(
+                f"snapshot range {from_snapshot_id}..{to_snap['snapshot_id']} "
+                "contains an overwrite; incremental read requires append-only history"
+            )
+        new = sorted(to_paths - from_paths)
+        if not new:
+            return self.read(spark).limit(0)
+        return self._reader(spark, new, to_snap.get("base_path"))
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Repoint the table at an earlier snapshot (Iceberg
+        rollback_to_snapshot): one atomic pointer swap, no data IO —
+        the recovery path when a published snapshot turns out bad."""
+        snap = self.snapshot(snapshot_id)  # raises if it never existed
+        snap_path = os.path.join(
+            self.root, "manifests", f"snapshot-{snapshot_id:06d}.json"
+        )
+        tmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": snap_path}, f)
+        os.replace(tmp, self._pointer_path())
+        return snap
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire old manifests and GC data files no retained snapshot
+        references (Iceberg expire_snapshots + remove_orphan_files).
+        Keeps the newest `keep_last` manifests, always including the
+        one the pointer currently targets (so a rolled-back table never
+        loses its live snapshot). Only files under this table's own
+        data/ dir are deleted — commit_files() snapshots referencing
+        external checkpoint parquet never GC the checkpoint."""
+        names = self.snapshots()
+        current = self.current_snapshot()
+        keep_names = set(names[-keep_last:]) if keep_last > 0 else set()
+        if current is not None:
+            keep_names.add(f"snapshot-{current['snapshot_id']:06d}.json")
+        live_paths: set[str] = set()
+        for name in keep_names:
+            with open(os.path.join(self.root, "manifests", name)) as f:
+                live_paths |= {f_["path"] for f_ in json.load(f)["files"]}
+        data_root = os.path.abspath(os.path.join(self.root, "data"))
+        removed_files = 0
+        for name in names:
+            if name in keep_names:
+                continue
+            with open(os.path.join(self.root, "manifests", name)) as f:
+                for f_ in json.load(f)["files"]:
+                    p = os.path.abspath(f_["path"])
+                    if p in live_paths or not p.startswith(data_root + os.sep):
+                        continue
+                    try:
+                        os.remove(p)
+                        removed_files += 1
+                    except FileNotFoundError:
+                        pass
+            os.remove(os.path.join(self.root, "manifests", name))
+        # drop now-empty data dirs (cosmetic; harmless if racy)
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return {
+            "expired_manifests": len(names) - len(keep_names & set(names)),
+            "removed_files": removed_files,
+        }
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        small_file_bytes: int | None = None,
+        sort_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> dict:
+        """Bin-pack small files into ~target-size files (Iceberg
+        rewrite_data_files). Long-running append pipelines (the
+        checkpoint stages, the lineage/metrics tables) accrete one
+        small parquet per unit per run; at 100 TB that is millions of
+        files whose open/seek overhead dominates scan time. Compaction
+        rewrites ONLY files below `small_file_bytes` (default
+        target/2), keeps already-right-sized files by reference, and
+        commits the result as a normal snapshot — time travel to the
+        pre-compaction file set still works until expire_snapshots().
+
+        `sort_by`: optional clustering rewrite (Iceberg sort-order /
+        z-order analog) — range-partition + sort the rewritten rows on
+        these columns (e.g. the Morton cell key) so min/max file stats
+        become selective and read_pruned() prunes tightly.
+
+        Partitioned (base_path) snapshots rewrite the FULL file set
+        with partition columns materialized as data columns: Spark's
+        basePath reader cannot mix files inside and outside one layout
+        root, so keep-by-reference is only sound for flat layouts.
+        """
+        snap = self.current_snapshot()
+        if snap is None or not snap["files"]:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        small_file_bytes = (
+            target_file_bytes // 2 if small_file_bytes is None else small_file_bytes
+        )
+        base_path = snap.get("base_path")
+        if base_path:
+            rewrite = list(snap["files"])
+            keep = []
+        else:
+            rewrite = [f for f in snap["files"] if f["bytes"] < small_file_bytes]
+            keep = [f for f in snap["files"] if f["bytes"] >= small_file_bytes]
+        if not rewrite or (len(rewrite) < 2 and not sort_by):
+            return {"rewritten": 0, "kept": len(snap["files"]), "new": 0,
+                    "snapshot_id": snap["snapshot_id"]}
+        df = self._reader(spark, [f["path"] for f in rewrite], base_path)
+        total = sum(f["bytes"] for f in rewrite)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out) if n_out < len(rewrite) else df
+        data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.parquet(data_dir)
+        new_files = self._file_stats(
+            spark, self._collect_files(data_dir), stat_cols
+        )
+        # kept files carry their stats from the snapshot that wrote
+        # them — no second stats job over data that didn't move.
+        out = self._write_snapshot(
+            df.schema.jsonValue(),
+            [dict(f) for f in keep] + new_files,
+            "overwrite",
+            snap.get("properties") or None,
+        )
+        return {
+            "rewritten": len(rewrite),
+            "kept": len(keep),
+            "new": len(new_files),
+            "snapshot_id": out["snapshot_id"],
+        }
 
     def read_pruned(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Manifest-stats file pruning: only read files whose [min,max]
