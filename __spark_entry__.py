@@ -33,6 +33,7 @@ from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
 
 KNN_LIMIT = 120  # custkey cutoff for the kNN query (bounds the oracle cross join)
+RADIUS_DEG = 4.0  # planar radius (degrees) for the radius_join query
 TILE_Z = 12
 JACCARD_THRESHOLD = 0.2
 JACCARD_MAX_DF_FRAC = 0.01  # hot-shingle cap: df > 1% of docs dropped pre-join
@@ -110,6 +111,18 @@ def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = knnmod.knn_join(queries_df, pts, k=corpus.KNN_K, level=6)
     return res.select("query_id", "doc_id", "rank")
+
+
+def _radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join: per-query disk cover -> one cell-equi
+    join -> exact distance filter (planar degrees, oracle-exact)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    queries_df = corpus.knn_queries(spark, sf_dir).filter(
+        F.regexp_extract("query_id", r"q-(\d+)", 1).cast("long") <= KNN_LIMIT
+    )
+    res = knnmod.radius_join(queries_df, pts, radius=RADIUS_DEG, level=6)
+    return res.select("query_id", "doc_id")
 
 
 def _layer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _tile_assign,
         "poly_tile_cover": _poly_tile_cover,
         "knn": _knn,
+        "radius_join": _radius_join,
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,
@@ -448,6 +462,22 @@ WITH q AS (
 SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {corpus.KNN_K}
 """
 
+# radius_join mirror: same query-point synthesis as _SQL_KNN; the
+# within-distance predicate uses only mul/add/sqrt (correctly-rounded
+# IEEE ops), so the boundary decision is bit-identical to Spark's.
+_SQL_RADIUS = f"""
+WITH q AS (
+  SELECT 'q-' || CAST(c_custkey AS VARCHAR) AS query_id,
+         ((c_custkey * 2654435761 + 11) % 360000000) / 1000000.0 - 180.0 AS qlon,
+         ((c_custkey * 1779033703 + 7) % 170000000) / 1000000.0 - 85.0 AS qlat
+  FROM customer WHERE c_custkey <= {KNN_LIMIT}
+), {_PTS}
+SELECT q.query_id AS query_id, p.doc_id AS doc_id
+FROM q CROSS JOIN pts p
+WHERE sqrt((p.lon - q.qlon) * (p.lon - q.qlon)
+         + (p.lat - q.qlat) * (p.lat - q.qlat)) <= {RADIUS_DEG}
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -468,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": _SQL_TILES,
         "poly_tile_cover": _SQL_POLY_TILE_COVER,
         "knn": _SQL_KNN,
+        "radius_join": _SQL_RADIUS,
         "layer_bbox": f"""
             WITH {_POLYS}
             SELECT layer_id, COUNT(*) AS n_polys,

@@ -46,6 +46,101 @@ def haversine_m(lon1, lat1, lon2, lat2):
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def make_disk_cells_udf(level: int, radius: float, haversine: bool):
+    """Cells covering the lon/lat rectangle that bounds each query's
+    radius disk. Planar: radius is degrees, the rectangle is ±radius.
+    Haversine: radius is meters; bounds are EXACTLY conservative on
+    the sphere — Δlat ≤ d/R (haversine is monotone in Δlat), and
+    sin(Δlon/2) ≤ sin(d/2R)/cos(worst_lat) from
+    hav(d/R) ≥ cos(lat1)cos(lat2)·hav(Δlon). Longitude wraps;
+    latitude clips at the poles."""
+    n = 1 << level
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def disk_cells(qlon: pd.Series, qlat: pd.Series) -> pd.Series:
+        lon = qlon.values.astype(np.float64)
+        lat = qlat.values.astype(np.float64)
+        if haversine:
+            dlat = np.degrees(radius / EARTH_RADIUS_M)
+            worst = np.minimum(np.abs(lat) + dlat, 89.999)
+            s = np.sin(radius / (2.0 * EARTH_RADIUS_M)) / np.cos(np.radians(worst))
+            dlon = np.where(
+                s >= 1.0, 180.0, np.degrees(2.0 * np.arcsin(np.minimum(s, 1.0)))
+            )
+        else:
+            dlat = float(radius)
+            dlon = np.full(len(lon), float(radius))
+        x0 = np.floor((lon - dlon + 180.0) / 360.0 * n).astype(np.int64)
+        x1 = np.floor((lon + dlon + 180.0) / 360.0 * n).astype(np.int64)
+        y0 = np.floor((90.0 - (lat + dlat)) / 180.0 * n).astype(np.int64)
+        y1 = np.floor((90.0 - (lat - dlat)) / 180.0 * n).astype(np.int64)
+        np.clip(y0, 0, n - 1, out=y0)
+        np.clip(y1, 0, n - 1, out=y1)
+        out = []
+        for i in range(len(lon)):
+            if x1[i] - x0[i] + 1 >= n:
+                xs = np.arange(n, dtype=np.int64)
+            else:
+                xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64) % n
+            gx, gy = np.meshgrid(xs, np.arange(y0[i], y1[i] + 1, dtype=np.int64))
+            out.append(
+                cellmod.encode_xy(gx.ravel(), gy.ravel(), level).tolist()
+            )
+        return pd.Series(out)
+
+    return disk_cells
+
+
+def radius_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius: float,
+    level: int = 8,
+    haversine: bool = False,
+    point_key: str = "doc_id",
+) -> DataFrame:
+    """Within-distance join: every (query, point) pair with
+    dist(query, point) ≤ radius. queries(query_id, qlon, qlat) x
+    points(point_key, lon, lat) -> (query_id, point_key, dist).
+
+    Physical plan: ONE cell-equi join. Each query explodes to the
+    fixed-level cells covering its radius disk (a per-query rectangle,
+    never a global cross join); the big point side computes its cell
+    id in whole-stage codegen and shuffles once on cell_id; the exact
+    distance predicate filters candidates JVM-side. A point's cell
+    appears at most once per query's cover, so no dedup pass is
+    needed. Scale: candidate count = points within the disk's bbox —
+    pick `level` so a cell is about the radius (cells/query stays
+    O(10)) and the join stays balanced.
+
+    Metric matches knn_join: planar degrees (oracle-exact IEEE
+    arithmetic) or haversine meters (`haversine=True`).
+    """
+    pts = points.select(point_key, "lon", "lat").withColumn(
+        "cell_id", cellmod.cell_col(F.col("lon"), F.col("lat"), level)
+    )
+    disk = make_disk_cells_udf(level, radius, haversine)
+    cand = (
+        queries.select("query_id", "qlon", "qlat")
+        .withColumn("cell_id", F.explode(disk("qlon", "qlat")))
+        .join(pts, "cell_id")
+    )
+    if haversine:
+        dist = haversine_m(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat"))
+    else:
+        # mul + add + sqrt are all correctly-rounded IEEE ops, so the
+        # boundary predicate is bit-identical in any engine (pow is
+        # only 1-ulp in the JVM — avoided on purpose).
+        dlon = F.col("lon") - F.col("qlon")
+        dlat = F.col("lat") - F.col("qlat")
+        dist = F.sqrt(dlon * dlon + dlat * dlat)
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .select("query_id", point_key, "dist")
+    )
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
