@@ -42,9 +42,11 @@ def run_workload(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
     if replicate > 1:
         # Deterministic fan-out of the same input: the scaling run needs
         # a compute-bound job so throughput measures cores, not task
-        # scheduling floor.
+        # scheduling floor. Pre-spread the single-file corpus so the
+        # fan-out map side is parallel, not one funnel task.
+        docs = docs.repartition(cpus * 4)
         reps = spark.range(replicate)
-        docs = docs.crossJoin(reps).select(
+        docs = docs.crossJoin(F.broadcast(reps)).select(
             F.concat(F.col("doc_id"), F.lit("#"), F.col("id").cast("string")).alias(
                 "doc_id"
             ),
@@ -141,9 +143,14 @@ def prepare_scaling_input(sf_dir: str, replicate: int) -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     spark = get_spark(app="geo-import-bench-prepare")
-    docs = corpus.documents(spark, sf_dir)
+    # Spread the corpus across tasks BEFORE the replicate fan-out: the
+    # source parquet is one file -> one partition, so without this the
+    # crossJoin + repartition map side funnels all replicate x rows
+    # (and their sort-before-repartition) through a single task — on a
+    # busy VM that one task is a >30-minute wall.
+    docs = corpus.documents(spark, sf_dir).repartition(64)
     reps = spark.range(replicate)
-    docs = docs.crossJoin(reps).select(
+    docs = docs.crossJoin(F.broadcast(reps)).select(
         F.concat(F.col("doc_id"), F.lit("#"), F.col("id").cast("string")).alias("doc_id"),
         "spans",
     ).repartition(256)

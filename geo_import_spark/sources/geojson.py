@@ -177,11 +177,19 @@ def point_spans(documents: DataFrame) -> DataFrame:
     s = documents.select(
         "doc_id", F.explode("spans").alias("span")
     ).filter(F.col("span.kind") == "geometry")
+    # Null out non-object text BEFORE the JSON parse. The validity
+    # predicates below get pushed down and collapsed into the kind
+    # filter, where the codegen'd predicate hoists its from_json
+    # subexpressions EAGERLY — so without this guard Jackson parses
+    # (and throws a deep-stack JsonParseException on) every text/media
+    # span in the corpus. A null input short-circuits from_json /
+    # get_json_object to null with no parser call at all.
+    jtxt = F.when(F.col("span.text").startswith("{"), F.col("span.text"))
     f = s.select(
         "doc_id",
         F.col("span.offset").alias("span_offset"),
-        F.from_json(F.col("span.text"), POINT_FEATURE_SCHEMA).alias("f"),
-        F.get_json_object(F.col("span.text"), "$.properties").alias("properties"),
+        F.from_json(jtxt, POINT_FEATURE_SCHEMA).alias("f"),
+        F.get_json_object(jtxt, "$.properties").alias("properties"),
     )
     # Accept BOTH Feature-wrapped Points and bare Point geometry spans,
     # matching the pandas path (geometry_spans/_parse_one) so the two
