@@ -119,6 +119,30 @@ def test_append_rejects_schema_mismatch(spark, tmp_path):
     assert t.read(spark).count() == 5
 
 
+def test_replace_with_changed_schema_drops_old_columns(spark, tmp_path):
+    """Reference replace-flow parity (es6-lib/services/spatial.js:128-173
+    copySchema): replacing a layer deletes the old columns — the new
+    schema wins outright, old columns are dropped, never merged. Here
+    an overwrite commit with a different schema must leave readers
+    seeing ONLY the new columns, and time travel must still serve the
+    old schema for the old snapshot."""
+    t = Table(str(tmp_path / "tbl"))
+    t.commit(spark, spark.createDataFrame([(1, "a")], "id int, old_col string"))
+    t.commit(
+        spark,
+        spark.createDataFrame([(2, 3.5)], "id int, new_col double"),
+        mode="overwrite",
+    )
+    cur = t.read(spark)
+    assert cur.columns == ["id", "new_col"]  # old_col gone, not merged
+    assert [r["id"] for r in cur.collect()] == [2]
+    # manifest schema matches the replacement exactly
+    names = [f["name"] for f in t.current_snapshot()["schema"]["fields"]]
+    assert names == ["id", "new_col"]
+    # time travel to the pre-replace snapshot still serves the old shape
+    assert t.read(spark, snapshot_id=0).columns == ["id", "old_col"]
+
+
 def test_compact_binpacks_small_files_and_preserves_data(spark, tmp_path):
     """Many small appends -> compact -> same rows, fewer files,
     right-sized files kept by reference, history intact."""
