@@ -74,6 +74,18 @@ def _pip_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipmod.pip_join(pts, lpolys).select("doc_id", "poly_id")
 
 
+def _geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar shoelace area / perimeter / centroid over both polygon
+    layers — pure JVM array folds (operators/geomstats.py). The DuckDB
+    mirror folds the same vertex lists with list_reduce in the same
+    left-to-right order, so the double outputs hash-compare exactly."""
+    from geo_import_spark.operators import geomstats
+
+    rect = corpus.polygons(spark, sf_dir).select("poly_id", "geom")
+    lp = corpus.concave_polygons(spark, sf_dir).select("poly_id", "geom")
+    return geomstats.geom_stats(rect.unionByName(lp))
+
+
 def _pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-style per-polygon containment counts."""
     return (
@@ -335,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_points": _parse_points,
         "pip_join": _pip_join,
         "pip_join_concave": _pip_join_concave,
+        "geom_stats": _geom_stats,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
         "poly_tile_cover": _poly_tile_cover,
@@ -393,6 +406,44 @@ SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
 FROM pts p JOIN lpolys g
   ON (p.lon > g.x0 AND p.lon < g.x1 AND p.lat > g.y0 AND p.lat < g.ym)
   OR (p.lon > g.x0 AND p.lon < g.xm AND p.lat > g.ym AND p.lat < g.y1)
+"""
+
+# geom_stats mirror: rebuild each layer's closed vertex lists from the
+# same parametric bounds, then fold shoelace / length / centroid terms
+# with list_reduce — a LEFT fold in vertex order, exactly like the
+# Spark side's F.aggregate (init 0.0 + t1 == t1 in IEEE), so the
+# double outputs are bit-identical and survive the value-hash compare.
+_SQL_GEOM_STATS = f"""
+WITH {_POLYS}, lpolys AS ({SQL_CONCAVE_POLYGONS}), g AS (
+  SELECT poly_id, [minx, maxx, maxx, minx, minx] AS xs,
+         [miny, miny, maxy, maxy, miny] AS ys
+  FROM polys
+  UNION ALL
+  SELECT poly_id, [x0, x1, x1, xm, xm, x0, x0] AS xs,
+         [y0, y0, ym, ym, y1, y1, y0] AS ys
+  FROM lpolys
+), t AS (
+  SELECT poly_id, len(xs) AS nv,
+    CAST(list_reduce(list_transform(range(1, len(xs)),
+         j -> xs[j] * ys[j+1] - xs[j+1] * ys[j]),
+         (a, b) -> a + b) AS DOUBLE) AS cross_sum,
+    CAST(list_reduce(list_transform(range(1, len(xs)),
+         j -> sqrt((xs[j+1] - xs[j]) * (xs[j+1] - xs[j])
+                 + (ys[j+1] - ys[j]) * (ys[j+1] - ys[j]))),
+         (a, b) -> a + b) AS DOUBLE) AS perimeter,
+    CAST(list_reduce(list_transform(range(1, len(xs)),
+         j -> (xs[j] + xs[j+1]) * (xs[j] * ys[j+1] - xs[j+1] * ys[j])),
+         (a, b) -> a + b) AS DOUBLE) AS cx_sum,
+    CAST(list_reduce(list_transform(range(1, len(xs)),
+         j -> (ys[j] + ys[j+1]) * (xs[j] * ys[j+1] - xs[j+1] * ys[j])),
+         (a, b) -> a + b) AS DOUBLE) AS cy_sum
+  FROM g
+)
+SELECT poly_id, CAST(1 AS INTEGER) AS n_rings, CAST(nv AS INTEGER) AS n_vertices,
+       abs(cross_sum / 2.0) AS area, perimeter,
+       cx_sum / (6.0 * (cross_sum / 2.0)) AS cx,
+       cy_sum / (6.0 * (cross_sum / 2.0)) AS cy
+FROM t
 """
 
 # poly_tile_cover mirror: same slippy-y formula as _SQL_TILES (proven
@@ -491,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_join": _SQL_PIP,
         "pip_join_concave": _SQL_PIP_CONCAVE,
+        "geom_stats": _SQL_GEOM_STATS,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})
             SELECT poly_id, COUNT(*) AS n_docs FROM hits GROUP BY poly_id

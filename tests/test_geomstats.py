@@ -1,0 +1,96 @@
+"""geom_stats: planar shoelace area / perimeter / centroid over the
+flat geometry layout — pure JVM array math (no UDF, no shuffle)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_import_spark.operators import geomstats
+
+
+def _geom_row(spark, ring_offsets, xs, ys, poly_id="p"):
+    return spark.createDataFrame(
+        [(poly_id, (ring_offsets, xs, ys))],
+        "poly_id string, geom struct<ring_offsets: array<int>, xs: array<double>, ys: array<double>>",
+    )
+
+
+def test_rectangle_area_perimeter_centroid(spark):
+    # CCW closed 2x3 rectangle at origin offset (1, 2)
+    df = _geom_row(
+        spark,
+        [0, 5],
+        [1.0, 3.0, 3.0, 1.0, 1.0],
+        [2.0, 2.0, 5.0, 5.0, 2.0],
+    )
+    r = geomstats.geom_stats(df).collect()[0]
+    assert r["n_rings"] == 1 and r["n_vertices"] == 5
+    assert r["area"] == pytest.approx(6.0)
+    assert r["perimeter"] == pytest.approx(10.0)
+    assert r["cx"] == pytest.approx(2.0)
+    assert r["cy"] == pytest.approx(3.5)
+
+
+def test_winding_direction_does_not_change_area_sign(spark):
+    cw = _geom_row(
+        spark,
+        [0, 5],
+        [1.0, 1.0, 3.0, 3.0, 1.0],
+        [2.0, 5.0, 5.0, 2.0, 2.0],
+    )
+    r = geomstats.geom_stats(cw).collect()[0]
+    assert r["area"] == pytest.approx(6.0)
+    assert r["cx"] == pytest.approx(2.0) and r["cy"] == pytest.approx(3.5)
+
+
+def test_donut_hole_subtracts_area_and_ring_mask_skips_bridge_segment(spark):
+    # 10x10 shell (CCW) with 2x2 hole (CW): area 100 - 4 = 96.
+    # The segment from the shell's last vertex to the hole's first
+    # vertex must be masked out (ring boundary), not treated as an edge.
+    shell_x = [0.0, 10.0, 10.0, 0.0, 0.0]
+    shell_y = [0.0, 0.0, 10.0, 10.0, 0.0]
+    hole_x = [4.0, 4.0, 6.0, 6.0, 4.0]
+    hole_y = [4.0, 6.0, 6.0, 4.0, 4.0]
+    df = _geom_row(spark, [0, 5, 10], shell_x + hole_x, shell_y + hole_y)
+    r = geomstats.geom_stats(df).collect()[0]
+    assert r["n_rings"] == 2 and r["n_vertices"] == 10
+    assert r["area"] == pytest.approx(96.0)
+    assert r["perimeter"] == pytest.approx(40.0 + 8.0)
+    # symmetric figure: centroid stays at the shell center
+    assert r["cx"] == pytest.approx(5.0) and r["cy"] == pytest.approx(5.0)
+
+
+def test_l_shape_area_matches_rect_decomposition(spark, sf_dir):
+    from geo_import_spark import corpus
+
+    lp = corpus.concave_polygons(spark, sf_dir)
+    got = {r["poly_id"]: r for r in geomstats.geom_stats(lp).collect()}
+    exp = lp.select(
+        "poly_id",
+        ((F.col("x1") - F.col("x0")) * (F.col("ym") - F.col("y0"))
+         + (F.col("xm") - F.col("x0")) * (F.col("y1") - F.col("ym"))).alias("area"),
+    ).collect()
+    assert len(exp) > 0
+    for e in exp:
+        assert got[e["poly_id"]]["area"] == pytest.approx(e["area"], rel=1e-12)
+
+
+def test_empty_and_degenerate_geometries_yield_nulls(spark):
+    empty = _geom_row(spark, [0], [], [], poly_id="empty")
+    line = _geom_row(
+        spark, [0, 3], [0.0, 4.0, 0.0], [0.0, 0.0, 0.0], poly_id="line"
+    )
+    rows = {r["poly_id"]: r for r in geomstats.geom_stats(empty.unionByName(line)).collect()}
+    e = rows["empty"]
+    assert e["n_vertices"] == 0 and e["area"] is None and e["cx"] is None
+    l = rows["line"]  # zero-area: perimeter real, centroid undefined
+    assert l["area"] == pytest.approx(0.0)
+    assert l["perimeter"] == pytest.approx(8.0)
+    assert l["cx"] is None and l["cy"] is None
+
+
+def test_geom_stats_plan_is_jvm_only(spark):
+    df = _geom_row(spark, [0, 5], [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0])
+    plan = geomstats.geom_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
