@@ -74,6 +74,18 @@ def _pip_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipmod.pip_join(pts, lpolys).select("doc_id", "poly_id")
 
 
+GRID_LEVEL = 6
+
+
+def _grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree-grid density surface over the parsed points: one
+    map-side-combined shuffle on cell_id, 100% JVM encode + bounds
+    decode (operators/tiling.py grid_density)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    return tiling.grid_density(pts, level=GRID_LEVEL)
+
+
 def _geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar shoelace area / perimeter / centroid over both polygon
     layers — pure JVM array folds (operators/geomstats.py). The DuckDB
@@ -348,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _pip_join,
         "pip_join_concave": _pip_join_concave,
         "geom_stats": _geom_stats,
+        "grid_density": _grid_density,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
         "poly_tile_cover": _poly_tile_cover,
@@ -406,6 +419,25 @@ SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
 FROM pts p JOIN lpolys g
   ON (p.lon > g.x0 AND p.lon < g.x1 AND p.lat > g.y0 AND p.lat < g.ym)
   OR (p.lon > g.x0 AND p.lon < g.xm AND p.lat > g.ym AND p.lat < g.y1)
+"""
+
+# grid_density mirror: the same clamp/floor grid arithmetic as the JVM
+# cell_col (level << 58 | x << 29 | y as plain integer math) and the
+# same left-assoc double expressions for the cell bounds.
+_GRID_N = 1 << GRID_LEVEL
+_SQL_GRID_DENSITY = f"""
+WITH {_PTS}, c AS (
+  SELECT GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_GRID_N}.0) AS BIGINT), {_GRID_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_GRID_N}.0) AS BIGINT), {_GRID_N - 1}), 0) AS y
+  FROM pts
+)
+SELECT {GRID_LEVEL << 58} + x * {1 << 29} + y AS cell_id,
+       COUNT(*) AS n_points,
+       CAST(x AS DOUBLE) / {_GRID_N}.0 * 360.0 - 180.0 AS lon_min,
+       90.0 - CAST(y + 1 AS DOUBLE) / {_GRID_N}.0 * 180.0 AS lat_min,
+       CAST(x + 1 AS DOUBLE) / {_GRID_N}.0 * 360.0 - 180.0 AS lon_max,
+       90.0 - CAST(y AS DOUBLE) / {_GRID_N}.0 * 180.0 AS lat_max
+FROM c GROUP BY x, y
 """
 
 # geom_stats mirror: rebuild each layer's closed vertex lists from the
@@ -543,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _SQL_PIP,
         "pip_join_concave": _SQL_PIP_CONCAVE,
         "geom_stats": _SQL_GEOM_STATS,
+        "grid_density": _SQL_GRID_DENSITY,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})
             SELECT poly_id, COUNT(*) AS n_docs FROM hits GROUP BY poly_id

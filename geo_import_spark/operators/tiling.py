@@ -172,3 +172,34 @@ def first_geometry_anchor(points: DataFrame) -> DataFrame:
         F.min_by("lon", "span_offset").alias("lon"),
         F.min_by("lat", "span_offset").alias("lat"),
     )
+
+
+def grid_density(points: DataFrame, level: int = 6) -> DataFrame:
+    """Quadtree-grid density surface: points -> cell at `level` ->
+    (cell_id, n_points, cell bounds). The raster-side aggregation
+    primitive (heatmaps, load maps, sampling weights) the vector ops
+    (pip_join, knn_join) don't cover.
+
+    Scale: ONE shuffle keyed by cell_id with map-side partial
+    aggregation — each input partition ships at most |occupied cells|
+    rows, never |points|. Cell encode AND bounds decode are whole-stage
+    codegen integer/float arithmetic (functions/cells.py layout:
+    (level << 58) + (x << 29) + y), so the operator is 100% JVM.
+    """
+    from geo_import_spark.functions import cells as cellmod
+
+    n = float(1 << level)
+    mask = (1 << 29) - 1
+    agg = points.groupBy(
+        cellmod.cell_col(F.col("lon"), F.col("lat"), level).alias("cell_id")
+    ).agg(F.count("*").alias("n_points"))
+    x = F.shiftright(F.col("cell_id"), 29).bitwiseAND(F.lit(mask))
+    y = F.col("cell_id").bitwiseAND(F.lit(mask))
+    return agg.select(
+        "cell_id",
+        "n_points",
+        (x.cast("double") / n * 360.0 - 180.0).alias("lon_min"),
+        (90.0 - (y + 1).cast("double") / n * 180.0).alias("lat_min"),
+        ((x + 1).cast("double") / n * 360.0 - 180.0).alias("lon_max"),
+        (90.0 - y.cast("double") / n * 180.0).alias("lat_max"),
+    )

@@ -94,3 +94,28 @@ def test_geom_stats_plan_is_jvm_only(spark):
     df = _geom_row(spark, [0, 5], [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0])
     plan = geomstats.geom_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_grid_density_counts_match_bruteforce_and_plan_is_jvm(spark, sf_dir):
+    import numpy as np
+
+    from geo_import_spark import corpus
+    from geo_import_spark.functions import cells as cellmod
+    from geo_import_spark.operators import tiling
+    from geo_import_spark.sources import geojson
+
+    pts = geojson.point_spans(corpus.documents(spark, sf_dir))
+    got = {r["cell_id"]: r for r in tiling.grid_density(pts, level=6).collect()}
+    pdf = pts.select("lon", "lat").toPandas()
+    cells = cellmod.cell_encode(pdf["lon"].values, pdf["lat"].values, 6)
+    uniq, counts = np.unique(cells, return_counts=True)
+    assert {int(c): int(n) for c, n in zip(uniq, counts)} == {
+        c: r["n_points"] for c, r in got.items()
+    }
+    # every point's cell bounds actually contain it
+    lo0, la0, lo1, la1 = cellmod.cell_bounds(uniq)
+    for c, a, b, d, e in zip(uniq.tolist(), lo0, la0, lo1, la1):
+        r = got[c]
+        assert (r["lon_min"], r["lat_min"], r["lon_max"], r["lat_max"]) == (a, b, d, e)
+    plan = tiling.grid_density(pts, level=6)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
