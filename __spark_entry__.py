@@ -29,6 +29,7 @@ from geo_import_spark.operators import pip as pipmod
 from geo_import_spark.operators import similarity
 from geo_import_spark.operators import textops
 from geo_import_spark.operators import tiling
+from geo_import_spark.operators import trainprep
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
 
@@ -72,6 +73,20 @@ def _pip_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = geojson.point_spans(docs)
     lpolys = corpus.concave_polygons(spark, sf_dir)
     return pipmod.pip_join(pts, lpolys).select("doc_id", "poly_id")
+
+
+def _overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-overlay join: exact intersection areas between the
+    rectangle layer (clip windows) and the concave L layer (subjects).
+    The Spark side clips with Sutherland–Hodgman and takes an integer
+    shoelace on the half-micro lattice; the oracle decomposes each L
+    into its two sub-rectangles and sums clamped-interval products —
+    bit-identical BIGINT cross2 (see operators/overlay.py)."""
+    from geo_import_spark.operators import overlay as overlaymod
+
+    rect = corpus.polygons(spark, sf_dir)
+    lp = corpus.concave_polygons(spark, sf_dir)
+    return overlaymod.overlay_join(rect, lp)
 
 
 GRID_LEVEL = 6
@@ -246,6 +261,37 @@ def _rolling_fingerprint(spark, sf_dir):
     return textops.rolling_fingerprint(_docs(spark, sf_dir))
 
 
+def _stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket downsampling per language stratum."""
+    return trainprep.stratified_sample(_docs(spark, sf_dir))
+
+
+def _decontaminate(spark, sf_dir):
+    """Benchmark 5-gram contamination sweep (bench = doc_id % 97 == 0)."""
+    return trainprep.decontaminate(_docs(spark, sf_dir))
+
+
+def _tfidf_top_terms(spark, sf_dir):
+    """Top-5 df-normalized terms per document (engine-exact tf*N/df)."""
+    return trainprep.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def _repetition_stats(spark, sf_dir):
+    """Gopher-style top-bigram repetition fraction (zero-shuffle map)."""
+    return trainprep.repetition_stats(_docs(spark, sf_dir))
+
+
+def _pii_scan(spark, sf_dir):
+    """Email/URL extraction + redaction fingerprint over the
+    deterministic contact-augmented text."""
+    return trainprep.pii_scan(_docs(spark, sf_dir))
+
+
+def _pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: cumsum binning per source."""
+    return trainprep.pack_sequences(_docs(spark, sf_dir))
+
+
 def _embed_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the LSH bucket join."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -360,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _pip_join,
         "pip_join_concave": _pip_join_concave,
         "geom_stats": _geom_stats,
+        "overlay_area": _overlay_area,
         "grid_density": _grid_density,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
@@ -377,6 +424,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "lang_id": _lang_id,
         "rolling_fingerprint": _rolling_fingerprint,
+        "stratified_sample": _stratified_sample,
+        "decontaminate": _decontaminate,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "repetition_stats": _repetition_stats,
+        "pii_scan": _pii_scan,
+        "pack_sequences": _pack_sequences,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_signatures": _minhash_sig,
         "minhash_lsh_pairs": _minhash_lsh,
@@ -478,6 +531,27 @@ SELECT poly_id, CAST(1 AS INTEGER) AS n_rings, CAST(nv AS INTEGER) AS n_vertices
 FROM t
 """
 
+# overlay mirror: rect ∩ L decomposes into rect ∩ lower-slab
+# ([x0,x1]x[y0,ym]) + rect ∩ upper-left-block ([x0,xm]x[ym,y1]);
+# widths/heights round to the half-micro lattice (floor(x*2e6 + 0.5),
+# convention-proof — values sit within 1e-7 of the lattice, never at
+# .5), so cross2 = 2*(w1*h1 + w2*h2) is an exact BIGINT matching the
+# Spark side's integer shoelace over the snapped clipped ring.
+_SQL_OVERLAY = f"""
+WITH {_POLYS}, lpolys AS ({SQL_CONCAVE_POLYGONS}), pairs AS (
+  SELECT r.poly_id AS clip_id, l.poly_id AS subject_id,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxx, l.x1) - GREATEST(r.minx, l.x0)) * 2000000.0 + 0.5) AS BIGINT) AS w1,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxy, l.ym) - GREATEST(r.miny, l.y0)) * 2000000.0 + 0.5) AS BIGINT) AS h1,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxx, l.xm) - GREATEST(r.minx, l.x0)) * 2000000.0 + 0.5) AS BIGINT) AS w2,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxy, l.y1) - GREATEST(r.miny, l.ym)) * 2000000.0 + 0.5) AS BIGINT) AS h2
+  FROM polys r JOIN lpolys l
+    ON r.minx < l.x1 AND r.maxx > l.x0 AND r.miny < l.y1 AND r.maxy > l.y0
+)
+SELECT clip_id, subject_id, 2 * (w1 * h1 + w2 * h2) AS cross2,
+       CAST(2 * (w1 * h1 + w2 * h2) AS DOUBLE) / 8000000000000.0 AS area_deg2
+FROM pairs WHERE w1 * h1 + w2 * h2 > 0
+"""
+
 # poly_tile_cover mirror: same slippy-y formula as _SQL_TILES (proven
 # bit-identical to the NumPy tile_xy by the tile_assign hash check),
 # bbox corners -> tile ranges -> generate_series double-unnest.
@@ -575,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _SQL_PIP,
         "pip_join_concave": _SQL_PIP_CONCAVE,
         "geom_stats": _SQL_GEOM_STATS,
+        "overlay_area": _SQL_OVERLAY,
         "grid_density": _SQL_GRID_DENSITY,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})
@@ -615,6 +690,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.SQL_QUALITY_SCORE,
         "lang_id": textops.SQL_LANG_ID,
         "rolling_fingerprint": textops.SQL_ROLLING_FINGERPRINT,
+        "stratified_sample": trainprep.SQL_STRATIFIED_SAMPLE,
+        "decontaminate": trainprep.SQL_DECONTAMINATE,
+        "tfidf_top_terms": trainprep.SQL_TFIDF_TOP_TERMS,
+        "repetition_stats": trainprep.SQL_REPETITION_STATS,
+        "pii_scan": trainprep.SQL_PII_SCAN,
+        "pack_sequences": trainprep.SQL_PACK_SEQUENCES,
         "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(
             threshold=JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
         ),

@@ -1,0 +1,190 @@
+"""Polygon-overlay spatial join: intersection areas between two
+polygon layers (the vector-overlay operation the north rule's
+"polygon-overlay layer merge" family implies, taken spatially).
+
+Plan shape (the scale story, mirroring the PIP join's):
+
+1. Candidate generation NEVER compares all pairs: each polygon's bbox
+   is covered with fixed-level quadtree cells (functions/cells.py
+   packing) via pure JVM sequence-explodes, and the two layers
+   equi-join on cell_id — one shuffle keyed by cell, pruned by a
+   fused strict bbox-overlap filter, then pair-dedup.
+2. Exact refinement clips the subject ring(s) against the clip
+   rectangle with Sutherland–Hodgman inside an Arrow-batched pandas
+   UDF — O(candidate pairs), never O(|A| x |B|).
+
+Exactness contract (what the DuckDB oracle hash-verifies): for
+axis-aligned inputs whose coordinates sit on the corpus's half-micro
+lattice (k/2e6 + EDGE_EPS — see corpus.py), every clipped vertex is a
+copy of an input coordinate, so translating the clipped ring to its
+own min corner and snapping to the lattice yields exact int64
+coordinates; the integer shoelace sum is then EXACT, and equals the
+oracle's clamped-interval decomposition (rect ∩ L = rect ∩ lower-slab
++ rect ∩ upper-block) integer-for-integer. General (non-rectilinear)
+subjects get standard double-precision clipping through the same code
+path (covered by kernel tests, not the hash oracle).
+
+Reference parity: geo-import merges layers by schema, never
+spatially (es6-lib/decoders/merger.js:50-64); spatial overlay is new
+engine capability for the tiling/training use case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COORD_SCALE = 2_000_000.0  # half-micro lattice: int = x * 2e6 (EDGE_EPS*2e6 = 0.9 -> see corpus)
+CROSS_TO_DEG2 = 2.0 * COORD_SCALE * COORD_SCALE  # cross_sum -> area in deg^2
+OVERLAY_LEVEL = 3  # 45-degree cells: hot 200x140-deg polygon covers ~20
+
+
+def _cover_cells(df: DataFrame, minx, miny, maxx, maxy, level: int) -> DataFrame:
+    """Fixed-level quadtree cover of each row's bbox — JVM sequence +
+    two explodes (both layers must share the level for the equi-join,
+    so no adaptive coarsening here; `level` bounds the fan-out)."""
+    n = 1 << level
+    gx = lambda v: F.greatest(F.least(F.floor((v + 180.0) / 360.0 * n).cast("long"), F.lit(n - 1)), F.lit(0))  # noqa: E731
+    gy = lambda v: F.greatest(F.least(F.floor((90.0 - v) / 180.0 * n).cast("long"), F.lit(n - 1)), F.lit(0))  # noqa: E731
+    df = df.withColumn("cx", F.explode(F.sequence(gx(minx), gx(maxx))))
+    df = df.withColumn("cy", F.explode(F.sequence(gy(maxy), gy(miny))))
+    return df.withColumn(
+        "cell_id",
+        F.lit(level << 58).cast("long") + F.shiftleft(F.col("cx"), 29) + F.col("cy"),
+    ).drop("cx", "cy")
+
+
+def _clip_ring(ring, minx, miny, maxx, maxy):
+    """Sutherland–Hodgman clip of one ring against an axis-aligned
+    rectangle. Interpolated coordinates are exact copies for
+    axis-aligned subject edges (the off-axis coordinate of a crossing
+    edge is constant, so p + 0*t survives bit-for-bit)."""
+    def clip_edge(poly, inside, isect):
+        out = []
+        m = len(poly)
+        for j in range(m):
+            p, q = poly[j], poly[(j + 1) % m]
+            pin, qin = inside(p), inside(q)
+            if pin:
+                out.append(p)
+            if pin != qin:
+                out.append(isect(p, q))
+        return out
+
+    def vline(c):
+        def isect(p, q):
+            t = (c - p[0]) / (q[0] - p[0])
+            return (c, p[1] + t * (q[1] - p[1]))
+        return isect
+
+    def hline(c):
+        def isect(p, q):
+            t = (c - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), c)
+        return isect
+
+    poly = ring
+    for inside, isect in (
+        (lambda p: p[0] >= minx, vline(minx)),
+        (lambda p: p[0] <= maxx, vline(maxx)),
+        (lambda p: p[1] >= miny, hline(miny)),
+        (lambda p: p[1] <= maxy, hline(maxy)),
+    ):
+        poly = clip_edge(poly, inside, isect)
+        if len(poly) < 3:
+            return []
+    return poly
+
+
+def _signed_cross(poly) -> int:
+    """2x signed area of a clipped ring in half-micro^2 units: snap
+    translated coordinates to the lattice (exact — see module doc),
+    then integer shoelace. Products stay < 2^60."""
+    xs = np.array([p[0] for p in poly], dtype=np.float64)
+    ys = np.array([p[1] for p in poly], dtype=np.float64)
+    xi = np.rint((xs - xs.min()) * COORD_SCALE).astype(np.int64)
+    yi = np.rint((ys - ys.min()) * COORD_SCALE).astype(np.int64)
+    return int(np.sum(xi * np.roll(yi, -1) - np.roll(xi, -1) * yi))
+
+
+def _clip_cross_fn(
+    minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series,
+    ring_offsets: pd.Series, xs: pd.Series, ys: pd.Series,
+) -> pd.Series:
+    """|2A| of subject ∩ clip-rect per candidate pair. Rings are
+    clipped independently; signed contributions sum, so consistently
+    wound holes subtract (even-odd parity with the PIP kernel)."""
+    out = np.zeros(len(minx), dtype=np.int64)
+    for i in range(len(minx)):
+        ro = ring_offsets.iloc[i]
+        x, y = xs.iloc[i], ys.iloc[i]
+        total = 0
+        for r in range(len(ro) - 1):
+            ring = [(float(x[j]), float(y[j])) for j in range(ro[r], ro[r + 1])]
+            if len(ring) > 1 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            clipped = _clip_ring(ring, minx.iloc[i], miny.iloc[i], maxx.iloc[i], maxy.iloc[i])
+            if len(clipped) >= 3:
+                total += _signed_cross(clipped)
+        out[i] = abs(total)
+    return pd.Series(out)
+
+
+def _clip_cross_udf(*cols):
+    # pandas_udf resolves its return type against the ACTIVE session —
+    # construct it lazily so importing this module needs no Spark.
+    return F.pandas_udf(_clip_cross_fn, "long")(*cols)
+
+
+def overlay_join(clips: DataFrame, subjects: DataFrame,
+                 level: int = OVERLAY_LEVEL) -> DataFrame:
+    """Intersection-area join between a rectangle (clip) layer and a
+    general polygon (subject) layer.
+
+    clips: (poly_id, minx, miny, maxx, maxy) — axis-aligned clip
+    windows (Sutherland–Hodgman needs a convex clip region; the
+    engine's rectangle layers qualify exactly).
+    subjects: (poly_id, geom struct<..., ring_offsets, xs, ys>) — any
+    simple polygon, holes included via extra rings.
+
+    Output: (clip_id, subject_id, cross2, area_deg2) for pairs with
+    positive intersection area, where cross2 = 2·area·(2e6)^2 as an
+    exact BIGINT on lattice inputs and area_deg2 = cross2 / 8e12.
+    """
+    a = clips.select(
+        F.col("poly_id").alias("clip_id"),
+        F.col("minx").alias("a_minx"), F.col("miny").alias("a_miny"),
+        F.col("maxx").alias("a_maxx"), F.col("maxy").alias("a_maxy"),
+    )
+    b = subjects.select(
+        F.col("poly_id").alias("subject_id"),
+        F.col("geom.ring_offsets").alias("ring_offsets"),
+        F.col("geom.xs").alias("xs"),
+        F.col("geom.ys").alias("ys"),
+        F.array_min("geom.xs").alias("b_minx"),
+        F.array_min("geom.ys").alias("b_miny"),
+        F.array_max("geom.xs").alias("b_maxx"),
+        F.array_max("geom.ys").alias("b_maxy"),
+    )
+    ac = _cover_cells(a, F.col("a_minx"), F.col("a_miny"), F.col("a_maxx"), F.col("a_maxy"), level)
+    bc = _cover_cells(b, F.col("b_minx"), F.col("b_miny"), F.col("b_maxx"), F.col("b_maxy"), level)
+    cand = (
+        ac.join(bc, "cell_id")
+        .filter(
+            (F.col("a_minx") < F.col("b_maxx")) & (F.col("a_maxx") > F.col("b_minx"))
+            & (F.col("a_miny") < F.col("b_maxy")) & (F.col("a_maxy") > F.col("b_miny"))
+        )
+        .dropDuplicates(["clip_id", "subject_id"])
+    )
+    cross2 = _clip_cross_udf(
+        F.col("a_minx"), F.col("a_miny"), F.col("a_maxx"), F.col("a_maxy"),
+        F.col("ring_offsets"), F.col("xs"), F.col("ys"),
+    )
+    return (
+        cand.withColumn("cross2", cross2)
+        .filter(F.col("cross2") > 0)
+        .withColumn("area_deg2", F.col("cross2").cast("double") / F.lit(CROSS_TO_DEG2))
+        .select("clip_id", "subject_id", "cross2", "area_deg2")
+    )
