@@ -101,6 +101,21 @@ def _grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.grid_density(pts, level=GRID_LEVEL)
 
 
+CONTOUR_LEVEL = 4
+CONTOUR_MIN_POINTS = 4
+
+
+def _density_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: merge horizontally adjacent dense grid cells
+    into row runs (gaps-and-islands over the thresholded density
+    surface)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    return tiling.density_contours(
+        pts, level=CONTOUR_LEVEL, min_points=CONTOUR_MIN_POINTS
+    )
+
+
 def _geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar shoelace area / perimeter / centroid over both polygon
     layers — pure JVM array folds (operators/geomstats.py). The DuckDB
@@ -408,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_stats": _geom_stats,
         "overlay_area": _overlay_area,
         "grid_density": _grid_density,
+        "density_contours": _density_contours,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
         "poly_tile_cover": _poly_tile_cover,
@@ -491,6 +507,36 @@ SELECT {GRID_LEVEL << 58} + x * {1 << 29} + y AS cell_id,
        CAST(x + 1 AS DOUBLE) / {_GRID_N}.0 * 360.0 - 180.0 AS lon_max,
        90.0 - CAST(y AS DOUBLE) / {_GRID_N}.0 * 180.0 AS lat_max
 FROM c GROUP BY x, y
+"""
+
+# density_contours mirror: same clamp/floor grid arithmetic as
+# _SQL_GRID_DENSITY at the contour level, gaps-and-islands via
+# x - row_number per grid row, same left-assoc double bounds.
+_CONTOUR_N = 1 << CONTOUR_LEVEL
+_SQL_DENSITY_CONTOURS = f"""
+WITH {_PTS}, c AS (
+  SELECT GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_CONTOUR_N}.0) AS BIGINT), {_CONTOUR_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_CONTOUR_N}.0) AS BIGINT), {_CONTOUR_N - 1}), 0) AS y
+  FROM pts
+), dense AS (
+  SELECT x, y, COUNT(*) AS n_points FROM c GROUP BY x, y
+  HAVING COUNT(*) >= {CONTOUR_MIN_POINTS}
+), runs AS (
+  SELECT x, y, n_points,
+         x - row_number() OVER (PARTITION BY y ORDER BY x) AS island
+  FROM dense
+), agg AS (
+  SELECT y, island, MIN(x) AS x0, MAX(x) AS x1,
+         CAST(COUNT(*) AS INTEGER) AS n_cells,
+         CAST(SUM(n_points) AS BIGINT) AS n_points
+  FROM runs GROUP BY y, island
+)
+SELECT y, x0, x1, n_cells, n_points,
+       CAST(x0 AS DOUBLE) / {_CONTOUR_N}.0 * 360.0 - 180.0 AS lon_min,
+       90.0 - CAST(y + 1 AS DOUBLE) / {_CONTOUR_N}.0 * 180.0 AS lat_min,
+       CAST(x1 + 1 AS DOUBLE) / {_CONTOUR_N}.0 * 360.0 - 180.0 AS lon_max,
+       90.0 - CAST(y AS DOUBLE) / {_CONTOUR_N}.0 * 180.0 AS lat_max
+FROM agg
 """
 
 # geom_stats mirror: rebuild each layer's closed vertex lists from the
@@ -651,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "geom_stats": _SQL_GEOM_STATS,
         "overlay_area": _SQL_OVERLAY,
         "grid_density": _SQL_GRID_DENSITY,
+        "density_contours": _SQL_DENSITY_CONTOURS,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})
             SELECT poly_id, COUNT(*) AS n_docs FROM hits GROUP BY poly_id

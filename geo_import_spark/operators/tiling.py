@@ -203,3 +203,56 @@ def grid_density(points: DataFrame, level: int = 6) -> DataFrame:
         ((x + 1).cast("double") / n * 360.0 - 180.0).alias("lon_max"),
         (90.0 - y.cast("double") / n * 180.0).alias("lat_max"),
     )
+
+
+def density_contours(points: DataFrame, level: int = 4,
+                     min_points: int = 4) -> DataFrame:
+    """Raster -> vector: threshold the density grid and merge
+    horizontally adjacent dense cells into row runs (the
+    gaps-and-islands contour of the heatmap; the inverse direction of
+    cover_tiles/grid_density, closing the north rule's raster<->vector
+    pairing).
+
+    Plan: the grid aggregation (one map-side-combined shuffle on
+    (x, y)) -> threshold filter -> ONE window per grid row y ordered
+    by x (island key = x - row_number, so consecutive x collapse to a
+    constant) -> re-aggregate per (y, island). The window and the
+    final groupBy share the y-partitioning, and the window's state is
+    one running count — at 100 TB the dense-cell table is bounded by
+    the grid size (4^level), not the input.
+
+    Output: (y, x0, x1, n_cells, n_points, lon_min, lat_min, lon_max,
+    lat_max) — one row per maximal horizontal run of dense cells.
+    """
+    from pyspark.sql import Window
+
+    n = 1 << level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * n).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    dense = (
+        points.groupBy(gx.alias("x"), gy.alias("y"))
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= min_points)
+    )
+    w = Window.partitionBy("y").orderBy("x")
+    runs = dense.withColumn("island", F.col("x") - F.row_number().over(w))
+    out = runs.groupBy("y", "island").agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.count("*").cast("int").alias("n_cells"),
+        F.sum("n_points").alias("n_points"),
+    )
+    return out.select(
+        "y", "x0", "x1", "n_cells", "n_points",
+        (F.col("x0").cast("double") / nf * 360.0 - 180.0).alias("lon_min"),
+        (90.0 - (F.col("y") + 1).cast("double") / nf * 180.0).alias("lat_min"),
+        ((F.col("x1") + 1).cast("double") / nf * 360.0 - 180.0).alias("lon_max"),
+        (90.0 - F.col("y").cast("double") / nf * 180.0).alias("lat_max"),
+    )

@@ -245,3 +245,30 @@ def test_overlay_randomized_rectilinear_matches_interval_math(spark):
     got = {r.clip_id: r.cross2 for r in
            overlay.overlay_join(_clips(spark, clips_rows), subs).collect()}
     assert got == true
+
+
+# --- density contours (raster -> vector) --------------------------------------
+
+def test_density_contours_merges_adjacent_runs(spark):
+    from geo_import_spark.operators import tiling
+
+    # level 2 -> 4x4 grid: 90-degree lon cells, 45-degree lat cells.
+    # Row y=1 (lat 0..45): dense cells x=0,1 (adjacent -> one run) and
+    # x=3 (second run); x=2 kept sparse (below threshold).
+    def pts(cx, cy, n):
+        lon = -180.0 + cx * 90.0 + 10.0
+        lat = 90.0 - cy * 45.0 - 10.0
+        return [(f"d{cx}-{cy}-{i}", lon + i * 0.001, lat) for i in range(n)]
+
+    rows = pts(0, 1, 5) + pts(1, 1, 4) + pts(2, 1, 2) + pts(3, 1, 6)
+    df = spark.createDataFrame(rows, "doc_id string, lon double, lat double")
+    got = sorted(
+        tiling.density_contours(df, level=2, min_points=4).collect(),
+        key=lambda r: r.x0,
+    )
+    assert [(r.y, r.x0, r.x1, r.n_cells, r.n_points) for r in got] == [
+        (1, 0, 1, 2, 9),
+        (1, 3, 3, 1, 6),
+    ]
+    assert got[0].lon_min == -180.0 and got[0].lon_max == 0.0
+    assert got[0].lat_min == 0.0 and got[0].lat_max == 45.0
