@@ -27,6 +27,7 @@ from geo_import_spark.operators import knn as knnmod
 from geo_import_spark.operators import multimodal
 from geo_import_spark.operators import pip as pipmod
 from geo_import_spark.operators import similarity
+from geo_import_spark.operators import temporal as temporalmod
 from geo_import_spark.operators import textops
 from geo_import_spark.operators import tiling
 from geo_import_spark.operators import trainprep
@@ -357,6 +358,40 @@ def _sessionize(spark, sf_dir):
     return eventsmod.sessionize(ev, gap_minutes=30)
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _asof_join(spark, sf_dir):
+    """As-of join: latest same-user click at or before each purchase
+    (one window over a tagged union — never a per-user cross join)."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.asof_join(_events(spark, sf_dir))
+
+
+def _range_join_events(spark, sf_dir):
+    """Bounded time-range join: same-user (error, click) pairs within
+    +-30 min, via 3-bucket explode + equi-join (no dedup needed)."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.range_join(_events(spark, sf_dir))
+
+
+def _rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (1h/6h/1d) in one
+    map-side-combined pass."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.rollup_multires(_events(spark, sf_dir))
+
+
+def _kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per language (deterministic,
+    mergeable synopsis; engine-portable bit-for-bit)."""
+    return trainprep.kmv_distinct(_docs(spark, sf_dir))
+
+
 # --- layer-normalization queries (merger/reprojector parity) ---------------
 
 def _layer_merge(spark, sf_dir):
@@ -458,6 +493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "events_window": _events_window,
         "sessionize": _sessionize,
+        "asof_join": _asof_join,
+        "range_join_events": _range_join_events,
+        "rollup_multires": _rollup_multires,
+        "kmv_distinct": _kmv_distinct,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -775,6 +814,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_window": eventsmod.SQL_WINDOWED_COUNTS,
         "sessionize": eventsmod.SQL_SESSIONIZE.format(gap=30 * 60),
+        "asof_join": temporalmod.SQL_ASOF_JOIN.format(
+            left_type=temporalmod.ASOF_LEFT, right_type=temporalmod.ASOF_RIGHT
+        ),
+        "range_join_events": temporalmod.SQL_RANGE_JOIN.format(
+            left_type=temporalmod.RANGE_LEFT,
+            right_type=temporalmod.RANGE_RIGHT,
+            radius_s=temporalmod.RANGE_RADIUS_S,
+        ),
+        "rollup_multires": temporalmod.SQL_ROLLUP_MULTIRES.format(
+            res_list=", ".join(str(r) for r in temporalmod.ROLLUP_RES_S)
+        ),
+        "kmv_distinct": trainprep.SQL_KMV_DISTINCT,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,

@@ -1,0 +1,194 @@
+"""Temporal join/rollup operators over the events stream: as-of join,
+bounded range join, and multi-resolution (hypertable-style) rollup.
+
+These are the custom operators Spark's built-in API lacks as single
+calls, re-expressed as compositions of DataFrame primitives (the
+preferred strategy — no UDF needed anywhere here):
+
+- as-of join = union the two sides, ONE window per user carrying the
+  last right-side row forward, filter to left rows. One shuffle on
+  user_id; never builds the per-user cross product.
+- range join = time-bucket both sides by the radius, explode the left
+  side into its 3 adjacent buckets, equi-join on (user, bucket), then
+  the exact |dt| filter. Each qualifying pair matches in EXACTLY one
+  bucket (the right row's own), so no dedup pass is needed. One
+  shuffle keyed by (user, bucket) — never ts-cross-join.
+- multi-resolution rollup = explode each event into its (resolution,
+  bucket) assignments, ONE map-side-combined shuffle on (res, bucket,
+  type) — the one-pass continuous-aggregate build.
+
+Cross-engine determinism: timestamps are compared/bucketed in exact
+integer microseconds (unix_micros / epoch_us); value sums use the
+package-wide exact micro-unit convention (streaming/events.py).
+
+Reference parity: geo-import has no event/time model — these extend
+the engine for the training-pipeline/event use case (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ASOF_LEFT = "purchase"
+ASOF_RIGHT = "click"
+RANGE_LEFT = "error"
+RANGE_RIGHT = "click"
+RANGE_RADIUS_S = 1800
+ROLLUP_RES_S = (3600, 21600, 86400)  # 1h / 6h / 1d
+
+
+def asof_join(events: DataFrame,
+              left_type: str = ASOF_LEFT,
+              right_type: str = ASOF_RIGHT) -> DataFrame:
+    """For each left-type event, the latest right-type event of the
+    same user with right.ts <= left.ts (inclusive; ties on ts broken
+    toward the larger right event_id). Inner semantics: lefts with no
+    preceding right are dropped.
+
+    Plan: filter → tagged union → ONE window over user_id ordered by
+    (ts, tag, event_id) carrying last(right_id) forward → filter to
+    left rows. The sort key puts an equal-ts right BEFORE the left it
+    should match, which is exactly the inclusive as-of contract.
+
+    Output: (event_id, user_id, matched_event_id, lag_us).
+    """
+    # parquet loads ts as TIMESTAMP_NTZ; the session tz is pinned to UTC
+    # (session.py), so the cast is the identity wall-clock -> epoch map
+    # and matches DuckDB's epoch_us on the same NTZ value.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = events.filter(F.col("event_type") == left_type).select(
+        "event_id", "user_id", us.alias("us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("right_id"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        "event_id", "user_id", us.alias("us"),
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("right_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "event_id", "user_id", "us", "tag",
+        F.last("right_id", ignorenulls=True).over(w).alias("m_id"),
+        F.max(F.when(F.col("tag") == 0, F.col("us"))).over(w).alias("m_us"),
+    )
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("m_id").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.col("m_id").alias("matched_event_id"),
+            (F.col("us") - F.col("m_us")).alias("lag_us"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = '{left_type}'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = '{right_type}'),
+j AS (
+  SELECT l.event_id AS event_id, l.user_id AS user_id,
+         r.event_id AS m_id, l.us - r.us AS lag_us,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.us DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.us <= l.us
+)
+SELECT event_id, user_id, m_id AS matched_event_id, lag_us
+FROM j WHERE rn = 1
+"""
+
+
+def range_join(events: DataFrame,
+               left_type: str = RANGE_LEFT,
+               right_type: str = RANGE_RIGHT,
+               radius_s: int = RANGE_RADIUS_S) -> DataFrame:
+    """All same-user (left, right) event pairs within +-radius seconds
+    of each other.
+
+    Output: (a_event_id, b_event_id, user_id, diff_us) with
+    diff_us = left.us - right.us in [-radius, +radius] microseconds.
+    """
+    rad_us = radius_s * 1_000_000
+    # parquet loads ts as TIMESTAMP_NTZ; the session tz is pinned to UTC
+    # (session.py), so the cast is the identity wall-clock -> epoch map
+    # and matches DuckDB's epoch_us on the same NTZ value.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.floor(F.col("us") / rad_us)
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(F.col("event_id").alias("a_event_id"), "user_id", us.alias("us"))
+        .withColumn("b0", bucket)
+        .withColumn("bucket", F.explode(F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(F.col("event_id").alias("b_event_id"), "user_id", us.alias("b_us"))
+        .withColumn("bucket", F.floor(F.col("b_us") / rad_us))
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .withColumn("diff_us", F.col("us") - F.col("b_us"))
+        .filter(F.abs(F.col("diff_us")) <= rad_us)
+        .select("a_event_id", "b_event_id", "user_id", "diff_us")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = '{left_type}'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = '{right_type}')
+SELECT l.event_id AS a_event_id, r.event_id AS b_event_id,
+       l.user_id AS user_id, l.us - r.us AS diff_us
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE abs(l.us - r.us) <= {radius_s} * 1000000
+"""
+
+
+def rollup_multires(events: DataFrame,
+                    resolutions_s: tuple[int, ...] = ROLLUP_RES_S) -> DataFrame:
+    """Hypertable-style continuous aggregate: per event_type counts
+    and exact micro-unit value sums at every resolution, one pass.
+
+    Output: (res_s, bucket_start_us, event_type, n, total_micros).
+    """
+    # parquet loads ts as TIMESTAMP_NTZ; the session tz is pinned to UTC
+    # (session.py), so the cast is the identity wall-clock -> epoch map
+    # and matches DuckDB's epoch_us on the same NTZ value.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    res = F.explode(F.array(*[F.lit(r) for r in resolutions_s])).alias("res_s")
+    exploded = events.select(
+        "event_type", us.alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmicros"),
+        res,
+    )
+    res_us = F.col("res_s").cast("long") * 1_000_000  # int32 would overflow at 1d
+    bucket_us = F.floor(F.col("us") / res_us) * res_us
+    return (
+        exploded.groupBy("res_s", bucket_us.alias("bucket_start_us"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("vmicros").alias("total_micros"))
+    )
+
+
+SQL_ROLLUP_MULTIRES = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmicros,
+         unnest([{res_list}]) AS res_s
+  FROM events
+)
+SELECT res_s,
+       CAST(floor(CAST(us AS DOUBLE) / (res_s * 1000000.0))
+            * res_s * 1000000 AS BIGINT) AS bucket_start_us,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(vmicros) AS BIGINT) AS total_micros
+FROM e
+GROUP BY 1, 2, 3
+"""

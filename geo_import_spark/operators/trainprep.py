@@ -375,6 +375,66 @@ SELECT doc_id,
 FROM m
 """
 
+# --- KMV distinct sketch --------------------------------------------------------
+
+KMV_K = 8
+KMV_SPACE = 1 << 28  # hash28 range
+
+
+def kmv_distinct(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch per language: the k-th
+    smallest distinct token hash estimates the vocabulary size as
+    (k-1) * |hash space| / kth_min (the classic KMV estimator).
+
+    Unlike HyperLogLog registers, the KMV synopsis is a deterministic
+    pure function of the input set — engine-portable bit-for-bit, and
+    mergeable across partitions/tables by keeping the k smallest of a
+    union (how a 100-TB scan would combine per-partition sketches).
+    This plan: distinct (lang, token hash) → per-lang k-th order
+    statistic via one row_number window; the exact distinct count
+    rides along as the accuracy yardstick.
+
+    Output: (lang, kth_min_hash, est_distinct, exact_distinct).
+    """
+    hashed = (
+        documents.select("lang", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .distinct()
+        .select("lang", hash28(F.col("token")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    counts = hashed.groupBy("lang").agg(F.count("*").alias("exact_distinct"))
+    return (
+        ranked.filter(F.col("rn") == k)
+        .select(
+            "lang",
+            F.col("h").alias("kth_min_hash"),
+            ((k - 1) * F.lit(float(KMV_SPACE)) / F.col("h").cast("double")).alias(
+                "est_distinct"
+            ),
+        )
+        .join(counts, "lang")
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH tok AS (
+  SELECT DISTINCT lang, unnest({SQL_TOKENS}) AS token FROM documents
+), h AS (
+  SELECT DISTINCT lang, {SQL_HASH28.format(x="token")} AS h FROM tok
+), ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h
+), counts AS (
+  SELECT lang, COUNT(*) AS exact_distinct FROM h GROUP BY lang
+)
+SELECT r.lang AS lang, r.h AS kth_min_hash,
+       ({KMV_K - 1} * {float(KMV_SPACE)}) / CAST(r.h AS DOUBLE) AS est_distinct,
+       c.exact_distinct AS exact_distinct
+FROM ranked r JOIN counts c ON r.lang = c.lang
+WHERE r.rn = {KMV_K}
+"""
+
 # --- sequence packing ----------------------------------------------------------
 
 PACK_BUDGET = 64  # tokens per packed sequence
