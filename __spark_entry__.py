@@ -386,6 +386,15 @@ def _rollup_multires(spark, sf_dir):
     return temporal.rollup_multires(_events(spark, sf_dir))
 
 
+def _group_quantiles(spark, sf_dir):
+    """Exact per-type order-statistic quantiles (p50/p90/p99) of the
+    micro-unit value — deterministic discrete quantile, one sort
+    window per type."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.group_quantiles(_events(spark, sf_dir))
+
+
 def _kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per language (deterministic,
     mergeable synopsis; engine-portable bit-for-bit)."""
@@ -496,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _asof_join,
         "range_join_events": _range_join_events,
         "rollup_multires": _rollup_multires,
+        "group_quantiles": _group_quantiles,
         "kmv_distinct": _kmv_distinct,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
@@ -825,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_multires": temporalmod.SQL_ROLLUP_MULTIRES.format(
             res_list=", ".join(str(r) for r in temporalmod.ROLLUP_RES_S)
         ),
+        "group_quantiles": temporalmod.sql_group_quantiles(),
         "kmv_distinct": trainprep.SQL_KMV_DISTINCT,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,

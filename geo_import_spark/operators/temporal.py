@@ -177,6 +177,69 @@ def rollup_multires(events: DataFrame,
     )
 
 
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def group_quantiles(events: DataFrame,
+                    quantiles: tuple[float, ...] = QUANTILES) -> DataFrame:
+    """Exact per-type order-statistic quantiles of the value column
+    (discrete/lower quantile: element at rank floor((n-1)*p) + 1 of
+    the sorted group — deterministic, unlike interpolated percentiles
+    whose FMA ordering differs across engines, and exact, unlike
+    approx_percentile's sketch).
+
+    Plan: one sort window per event_type (rank + count in the same
+    window spec), then a pivot-style conditional aggregation — a
+    second tiny shuffle on event_type. At scale the window's sort is
+    the cost; for a fixed quantile set over a hot group this is the
+    operator you replace with a t-digest — kept exact here because
+    exactness is what the oracle verifies.
+
+    Output: (event_type, n, q50_micros, q90_micros, q99_micros).
+    """
+    from pyspark.sql import Window
+
+    micros = F.floor(F.col("value") * 1_000_000).cast("long")
+    w = Window.partitionBy("event_type").orderBy("vmicros", "event_id")
+    ranked = (
+        events.select("event_type", "event_id", micros.alias("vmicros"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        rank = F.floor((F.col("n") - 1) * q) + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == rank, F.col("vmicros"))).alias(
+                f"q{int(q * 100)}_micros"
+            )
+        )
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+SQL_GROUP_QUANTILES = """
+WITH r AS (
+  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vmicros,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       {q_cols}
+FROM r GROUP BY event_type
+"""
+
+
+def sql_group_quantiles(quantiles: tuple[float, ...] = QUANTILES) -> str:
+    q_cols = ",\n       ".join(
+        f"MAX(CASE WHEN rn = CAST(floor((n - 1) * {q}) AS BIGINT) + 1 "
+        f"THEN vmicros END) AS q{int(q * 100)}_micros"
+        for q in quantiles
+    )
+    return SQL_GROUP_QUANTILES.format(q_cols=q_cols)
+
+
 SQL_ROLLUP_MULTIRES = """
 WITH e AS (
   SELECT event_type, epoch_us(ts) AS us,

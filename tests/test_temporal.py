@@ -93,3 +93,13 @@ def test_kmv_sketch_is_kth_min_of_distinct_hashes(spark):
     assert r.kth_min_hash == hashes[7]
     assert r.exact_distinct == 40
     assert r.est_distinct == 7 * float(1 << 28) / hashes[7]
+
+
+def test_group_quantiles_picks_order_statistics(spark):
+    # 5 views with micro-values 1..5 -> p50 rank floor(4*.5)+1 = 3,
+    # p90 rank floor(4*.9)+1 = 4, p99 rank 4
+    rows = [(i, i + 1, 1, "view", (i + 1) / 1e6) for i in range(5)]
+    got = temporal.group_quantiles(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.q50_micros, r.q90_micros, r.q99_micros) == (5, 3, 4, 4)
