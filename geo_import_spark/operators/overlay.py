@@ -135,7 +135,12 @@ def _clip_cross_fn(
 def _clip_cross_udf(*cols):
     # pandas_udf resolves its return type against the ACTIVE session —
     # construct it lazily so importing this module needs no Spark.
-    return F.pandas_udf(_clip_cross_fn, "long")(*cols)
+    # asNondeterministic is a plan barrier, not a semantics statement:
+    # the fn is pure, but CollapseProject re-inlines deterministic
+    # Python UDFs referenced by both a filter and a projection,
+    # doubling the clip work (two stacked ArrowEvalPython nodes in the
+    # observed plan). Marking it nondeterministic pins ONE evaluation.
+    return F.pandas_udf(_clip_cross_fn, "long").asNondeterministic()(*cols)
 
 
 def overlay_join(clips: DataFrame, subjects: DataFrame,
