@@ -36,9 +36,16 @@ PERM_A = [(j * 2654435761 + 1) % MINHASH_P or 1 for j in range(1, NUM_PERM + 1)]
 PERM_B = [(j * 1779033703 + 7) % MINHASH_P for j in range(1, NUM_PERM + 1)]
 
 
-def shingles_col(text_col, n: int = NGRAM):
-    """Distinct word n-grams (space-joined) of a text column."""
-    toks = tokens_col(text_col)
+def shingles_of_tokens(toks, n: int = NGRAM):
+    """Distinct word n-grams (space-joined) of a token-array column.
+
+    PASS A MATERIALIZED COLUMN, not the tokens_col(...) expression:
+    the lambda references `toks` 3 times per gram, and higher-order
+    arguments are re-evaluated per element (no CSE) — an inlined
+    split/filter chain turns shingling O(n^2)-interpreted per row
+    (measured ~10x on the minhash family). Stage tokens with
+    .select(tokens_col(...).alias("toks")) first.
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -48,6 +55,13 @@ def shingles_col(text_col, n: int = NGRAM):
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles_col(text_col, n: int = NGRAM):
+    """Distinct word n-grams of a text column — convenience form for
+    one-shot use; hot paths should stage tokens and call
+    shingles_of_tokens (see its docstring)."""
+    return shingles_of_tokens(tokens_col(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -69,7 +83,8 @@ def ngram_jaccard_pairs(
     recall-on-boilerplate tradeoff). None disables the cap.
     """
     ex = (
-        documents.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", shingles_of_tokens(F.col("toks")).alias("sh"))
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     )
     if max_df_frac is not None:
@@ -97,28 +112,80 @@ def ngram_jaccard_pairs(
     )
 
 
-def _sigs_col():
-    """MinHash signature array (NUM_PERM mins) for the text column."""
-    hs = F.transform(shingles_col(F.col("text")), hash28)
+def _with_sigs(documents: DataFrame) -> DataFrame:
+    """(doc_id, sigs) with sigs = the NUM_PERM MinHash minima.
+
+    The shingle-hash array is STAGED as its own projection before the
+    16 per-permutation folds reference it: inlining `hs` into each
+    fold makes the engine recompute the whole tokenize→shingle→md5
+    chain once per permutation (higher-order arguments are not
+    common-subexpression-eliminated — the same trap as
+    trainprep.repetition_stats; measured ~10x on this operator).
+    """
+    hs_df = (
+        documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.transform(shingles_of_tokens(F.col("toks")), hash28).alias("hs"),
+        )
+    )
 
     def perm_fn(a, b):
         return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
 
-    return F.array(
+    sig = F.array(
         *[
-            F.array_min(F.transform(hs, perm_fn(a, b)))
+            F.array_min(F.transform(F.col("hs"), perm_fn(a, b)))
             for a, b in zip(PERM_A, PERM_B)
         ]
     )
+    return hs_df.select("doc_id", sig.alias("sigs"))
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature, exploded to (doc_id, perm, sig) rows
-    for stable cross-engine comparison."""
-    return (
-        documents.select("doc_id", _sigs_col().alias("sigs"))
-        .select("doc_id", F.posexplode("sigs").alias("perm", "sig"))
-        .select("doc_id", F.col("perm").cast("int").alias("perm"), "sig")
+    """Per-doc MinHash signature as (doc_id, perm, sig) rows.
+
+    NOT posexplode(_with_sigs(...)): a Generate over the sig array
+    pulls the whole staged expression chain back inline (observed
+    plan: 82 split() / 17 md5() occurrences — the stage-then-explode
+    structure doesn't survive the optimizer). Instead the signature is
+    computed as data flow: explode hashes x 16 literal perm structs →
+    groupBy(doc, perm) min — 100% whole-stage codegen, no lambdas,
+    map-side partial min, one shuffle on (doc_id, perm).
+    explode_outer keeps shingle-less docs as null-signature rows
+    (same contract as array_min over an empty array).
+    """
+    hs_df = (
+        documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.transform(shingles_of_tokens(F.col("toks")), hash28).alias("hs"),
+        )
+    )
+    perms = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("perm"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                )
+                for j, (a, b) in enumerate(zip(PERM_A, PERM_B))
+            ]
+        )
+    )
+    rows = (
+        hs_df.select("doc_id", "hs", perms.alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.perm").alias("perm"),
+            "p.a",
+            "p.b",
+            F.explode_outer("hs").alias("h"),
+        )
+    )
+    return rows.groupBy("doc_id", "perm").agg(
+        F.min((F.col("h") * F.col("a") + F.col("b")) % MINHASH_P).alias("sig")
     )
 
 
@@ -128,7 +195,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     Band bucket = band index + comma-joined signature slice; self-join
     on bucket. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
     """
-    sigs = documents.select("doc_id", _sigs_col().alias("sigs"))
+    sigs = _with_sigs(documents)
     buckets = F.array(
         *[
             F.concat_ws(
@@ -225,14 +292,30 @@ ELSE [] END)
 _PERM_A_SQL = "[" + ", ".join(str(a) for a in PERM_A) + "]"
 _PERM_B_SQL = "[" + ", ".join(str(b) for b in PERM_B) + "]"
 
-# Per-doc ordered signature list (index j = permutation j).
+# Per-doc ordered signature list (index j = permutation j). Tokens,
+# shingles, and hashes are staged in CTEs — inlining SQL_SHINGLES into
+# the 16-permutation transform makes DuckDB recompute the whole
+# tokenize→shingle→md5 chain per permutation too (the oracle-side twin
+# of the Spark staging fix; ~20x on the sf0.01 parity wall).
 SQL_MINHASH_SIGS_LIST = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+shl AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {NGRAM} THEN
+           list_transform(range(1, len(toks) - {NGRAM - 2}),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS sh
+  FROM tk
+),
+hst AS (
+  SELECT doc_id, list_transform(sh, x -> {SQL_HASH28.format(x='x')}) AS hs
+  FROM shl
+)
 SELECT doc_id,
        list_transform(range(1, {NUM_PERM + 1}), j ->
-         list_min(list_transform(
-           list_transform({SQL_SHINGLES}, x -> {SQL_HASH28.format(x='x')}),
+         list_min(list_transform(hs,
            h -> (h * ({_PERM_A_SQL})[j] + ({_PERM_B_SQL})[j]) % {MINHASH_P}))) AS sigs
-FROM documents
+FROM hst
 """
 
 SQL_NGRAM_JACCARD = f"""

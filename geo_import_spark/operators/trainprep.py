@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geo_import_spark.operators.dedup import shingles_col
 from geo_import_spark.operators.textops import SQL_HASH28, SQL_TOKENS, hash28, tokens_col
 
 # --- stratified sampling -----------------------------------------------------
@@ -100,14 +99,19 @@ def decontaminate(documents: DataFrame,
 
     Output: (doc_id, n_shared) for contaminated non-benchmark docs.
     """
-    sh = shingles_col(F.col("text"), n)
+    from geo_import_spark.operators.dedup import shingles_of_tokens
+
+    sh = shingles_of_tokens(F.col("toks"), n)
+    staged = documents.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
     bench = (
-        documents.filter(F.col("doc_id") % bench_mod == 0)
+        staged.filter(F.col("doc_id") % bench_mod == 0)
         .select(F.explode(sh).alias("shingle"))
         .distinct()
     )
     corpus_sh = (
-        documents.filter(F.col("doc_id") % bench_mod != 0)
+        staged.filter(F.col("doc_id") % bench_mod != 0)
         .select("doc_id", F.explode(sh).alias("shingle"))
     )
     return (
