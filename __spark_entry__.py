@@ -417,6 +417,20 @@ def _rollup_multires(spark, sf_dir):
     return temporal.rollup_multires(_events(spark, sf_dir))
 
 
+def _user_moving_agg(spark, sf_dir):
+    """Ordered window frames: trailing 5-row moving micro-sum + lag
+    gap per user."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.user_moving_agg(_events(spark, sf_dir))
+
+
+def _cube_counts(spark, sf_dir):
+    """Grouping-sets corpus composition: (lang x source) CUBE with
+    counts + exact token totals in one pass."""
+    return trainprep.cube_counts(_docs(spark, sf_dir))
+
+
 def _group_quantiles(spark, sf_dir):
     """Exact per-type order-statistic quantiles (p50/p90/p99) of the
     micro-unit value — deterministic discrete quantile, one sort
@@ -539,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _range_join_events,
         "rollup_multires": _rollup_multires,
         "group_quantiles": _group_quantiles,
+        "user_moving_agg": _user_moving_agg,
+        "cube_counts": _cube_counts,
         "kmv_distinct": _kmv_distinct,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
@@ -869,6 +885,10 @@ def oracle_sql() -> dict[str, str]:
             res_list=", ".join(str(r) for r in temporalmod.ROLLUP_RES_S)
         ),
         "group_quantiles": temporalmod.sql_group_quantiles(),
+        "user_moving_agg": temporalmod.SQL_USER_MOVING_AGG.format(
+            preceding=temporalmod.MOVING_WINDOW - 1
+        ),
+        "cube_counts": trainprep.SQL_CUBE_COUNTS,
         "kmv_distinct": trainprep.SQL_KMV_DISTINCT,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,

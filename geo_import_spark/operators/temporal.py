@@ -240,6 +240,55 @@ def sql_group_quantiles(quantiles: tuple[float, ...] = QUANTILES) -> str:
     return SQL_GROUP_QUANTILES.format(q_cols=q_cols)
 
 
+MOVING_WINDOW = 5
+
+
+def user_moving_agg(events: DataFrame, window_rows: int = MOVING_WINDOW) -> DataFrame:
+    """Ordered per-user window frame: trailing N-row moving sum of the
+    micro-unit value and the gap to the previous event — the
+    lag/frame window-function family over the event stream. One
+    shuffle on user_id; both measures share the same window spec so
+    Spark computes them in a single Window operator.
+
+    Output: (event_id, user_id, moving_sum_micros, gap_us).
+    gap_us is NULL for each user's first event.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    micros = F.floor(F.col("value") * 1_000_000).cast("long")
+    base = events.select(
+        "event_id", "user_id", us.alias("us"), micros.alias("vmicros")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        F.sum("vmicros").over(w).alias("moving_sum_micros"),
+        (F.col("us") - F.lag("us").over(wlag)).alias("gap_us"),
+    )
+
+
+SQL_USER_MOVING_AGG = """
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmicros
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(vmicros) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN {preceding} PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving_sum_micros,
+       us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+FROM b
+"""
+
+
 SQL_ROLLUP_MULTIRES = """
 WITH e AS (
   SELECT event_type, epoch_us(ts) AS us,

@@ -379,6 +379,44 @@ SELECT doc_id,
 FROM m
 """
 
+# --- cube counts ---------------------------------------------------------------
+
+
+def cube_counts(documents: DataFrame) -> DataFrame:
+    """Corpus composition cube over (lang, source): doc counts and
+    exact token totals at every grouping-set level — per (lang,
+    source), per lang, per source, and grand total in ONE pass
+    (Spark expands the cube map-side; one shuffle).
+
+    NULL grouping cells are labeled '<all>' so the output is
+    unambiguous (and engine-portable: DuckDB CUBE produces the same
+    sets). Output: (lang, source, n_docs, total_tokens).
+    """
+    n_tok = F.size(tokens_col(F.col("text")))
+    return (
+        documents.select("lang", "source", n_tok.alias("n_tok"))
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+SQL_CUBE_COUNTS = f"""
+WITH t AS (
+  SELECT lang, source, len({SQL_TOKENS}) AS n_tok FROM documents
+)
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY CUBE (lang, source)
+"""
+
 # --- KMV distinct sketch --------------------------------------------------------
 
 KMV_K = 8
