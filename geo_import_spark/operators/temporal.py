@@ -1,5 +1,6 @@
 """Temporal join/rollup operators over the events stream: as-of join,
-bounded range join, and multi-resolution (hypertable-style) rollup.
+bounded range join, multi-resolution (hypertable-style) rollup, exact
+group quantiles, and ordered window frames (moving sum + lag).
 
 These are the custom operators Spark's built-in API lacks as single
 calls, re-expressed as compositions of DataFrame primitives (the
