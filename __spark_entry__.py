@@ -379,6 +379,12 @@ def _media_features(spark, sf_dir):
     return multimodal.media_features(tiling.media_spans(docs))
 
 
+def _media_resize(spark, sf_dir):
+    """Aspect-preserving fit-in-256 resize targets per media item
+    (integer-exact dimension math; pixel work is the codec stub)."""
+    return multimodal.resize_plan(_media_features(spark, sf_dir))
+
+
 def _events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return eventsmod.windowed_counts(ev)
@@ -547,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embed_near_dups,
         "media_features": _media_features,
+        "media_resize": _media_resize,
         "events_window": _events_window,
         "sessionize": _sessionize,
         "asof_join": _asof_join,
@@ -870,6 +877,16 @@ def oracle_sql() -> dict[str, str]:
                    'media://' || CAST((o_orderkey * 1103515245 + 12345) % 4294967296 AS VARCHAR) AS media_ref
             FROM orders WHERE o_orderkey % 2 = 0
             """
+        ),
+        "media_resize": multimodal.sql_resize_plan(
+            multimodal.sql_media_features(
+                """
+            SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(2 AS INTEGER) AS span_offset,
+                   'media://' || CAST((o_orderkey * 1103515245 + 12345) % 4294967296 AS VARCHAR) AS media_ref
+            FROM orders WHERE o_orderkey % 2 = 0
+            """
+            )
         ),
         "events_window": eventsmod.SQL_WINDOWED_COUNTS,
         "sessionize": eventsmod.SQL_SESSIONIZE.format(gap=30 * 60),

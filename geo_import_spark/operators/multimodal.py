@@ -72,6 +72,53 @@ def media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
 
+RESIZE_BOX = 256
+
+
+def resize_plan(features: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
+    """Aspect-preserving fit-in-box resize targets for each media item
+    — the dimension planning half of a resize stage. The pixel
+    resample itself belongs behind the same codec plug-point as
+    `_decode_real` (another mapInPandas over binary columns); the
+    TARGET geometry is pure integer arithmetic and stays JVM-side.
+
+    The long side maps to `box` exactly; the short side scales as
+    floor(short * box / long) — integer-exact in both engines (never
+    `short * (box/long)`, whose rounded intermediate can floor-flip on
+    exact multiples). Media already inside the box pass through
+    unscaled (no upsampling).
+
+    Output: features + (out_w, out_h, resized: boolean).
+    """
+    w, h = F.col("width"), F.col("height")
+    fit_w = F.floor(w * box / F.greatest(w, h)).cast("int")
+    fit_h = F.floor(h * box / F.greatest(w, h)).cast("int")
+    needs = (w > box) | (h > box)
+    return features.select(
+        "*",
+        F.when(needs, fit_w).otherwise(w).alias("out_w"),
+        F.when(needs, fit_h).otherwise(h).alias("out_h"),
+        needs.alias("resized"),
+    )
+
+
+def sql_resize_plan(features_sql: str, box: int = RESIZE_BOX) -> str:
+    """DuckDB mirror over a features subquery (same columns as
+    FEATURE_SCHEMA)."""
+    return f"""
+WITH f AS ({features_sql})
+SELECT f.*,
+       CAST(CASE WHEN width > {box} OR height > {box}
+                 THEN floor(CAST(width * {box} AS DOUBLE) / GREATEST(width, height))
+                 ELSE width END AS INTEGER) AS out_w,
+       CAST(CASE WHEN width > {box} OR height > {box}
+                 THEN floor(CAST(height * {box} AS DOUBLE) / GREATEST(width, height))
+                 ELSE height END AS INTEGER) AS out_h,
+       (width > {box} OR height > {box}) AS resized
+FROM f
+"""
+
+
 def frame_sample(features: DataFrame, every_n: int = 30) -> DataFrame:
     """Sampled frame indices per media item (video-style spans):
     frames 0, every_n, 2*every_n, … < n_frames. Pure JVM explode —
