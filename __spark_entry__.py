@@ -257,6 +257,24 @@ def _span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule span-sequence equality (kind, text, media_ref, order)
+    per doc_id, as one hash-checked fingerprint row per document."""
+    from geo_import_spark.operators import spans as spansmod
+
+    return spansmod.span_fingerprint(corpus.documents(spark, sf_dir))
+
+
+def _hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell skew diagnostic at level 4 (SURVEY §4.2.2 salting input)."""
+    return tiling.hot_cells(corpus.points(spark, sf_dir), level=4, top=20)
+
+
+def _knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_classify(emb, n_queries=ANN_QUERIES, k=10)
+
+
 # --- training-data pipeline queries (documents/embeddings/events tables) ---
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,
+        "span_roundtrip": _span_roundtrip,
+        "hot_cells": _hot_cells,
+        "knn_classify": _knn_classify,
         "text_stats": _text_stats,
         "token_counts": _token_counts,
         "dedup_exact": _dedup_exact,
@@ -574,6 +595,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _PTS = f"pts AS ({SQL_POINTS})"
+
+# span_roundtrip: rebuild the canonical per-span strings straight from
+# the corpus integer formulas (corpus.py documents()); geometry spans
+# canonicalize to the micro-degree lattice so no float formatting is
+# ever compared. Must stay in lockstep with operators/spans.py.
+_SQL_SPAN_ROUNDTRIP = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       CAST(2 + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_spans,
+       md5(
+         'text|0||order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus
+         || ';geometry|1||geom:'
+         || CAST((o_orderkey * 2654435761) % 360000000 AS VARCHAR)
+         || ':' || CAST((o_orderkey * 1779033703 + 12345) % 170000000 AS VARCHAR)
+         || ':' || o_orderstatus || ':' || CAST(o_custkey AS VARCHAR)
+         || CASE WHEN o_orderkey % 2 = 0
+                 THEN ';media|2|media://'
+                      || CAST((o_orderkey * 1103515245 + 12345) % 4294967296 AS VARCHAR)
+                      || '|'
+                 ELSE '' END
+         || CASE WHEN o_orderkey % 3 = 0
+                 THEN ';text|'
+                      || CAST(2 + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+                      || '||' || o_orderpriority
+                 ELSE '' END
+       ) AS fp
+FROM orders
+"""
+
+# hot_cells: cells.cell_col at level 4 mirrored as integer/float SQL in
+# the same IEEE op order (level<<58 | x<<29 | y packing).
+_HOT_LEVEL = 4
+_HOT_N = 1 << _HOT_LEVEL
+_SQL_HOT_CELLS = f"""
+WITH {_PTS},
+c AS (
+  SELECT CAST({_HOT_LEVEL << 58} AS BIGINT)
+       + GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {_HOT_N}) AS BIGINT),
+                        {_HOT_N - 1}), 0) * 536870912
+       + GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {_HOT_N}) AS BIGINT),
+                        {_HOT_N - 1}), 0) AS cell_id
+  FROM pts
+),
+g AS (SELECT cell_id, COUNT(*) AS n_points FROM c GROUP BY cell_id),
+s AS (SELECT SUM(n_points) AS total, COUNT(*) AS n_cells FROM g)
+SELECT cell_id, n_points, n_points / (total / n_cells) AS skew_ratio
+FROM g, s
+ORDER BY n_points DESC, cell_id ASC
+LIMIT 20
+"""
 _POLYS = f"polys AS ({SQL_POLYGONS})"
 
 _SQL_PIP = f"""
@@ -834,6 +905,11 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN o_orderkey % 3 = 0 THEN ',text' ELSE '' END AS kinds
             FROM orders
         """,
+        "span_roundtrip": _SQL_SPAN_ROUNDTRIP,
+        "hot_cells": _SQL_HOT_CELLS,
+        "knn_classify": similarity.SQL_KNN_CLASSIFY.format(
+            n_queries=ANN_QUERIES, k_plus_1=11
+        ),
         "text_stats": textops.SQL_TEXT_STATS,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "dedup_exact": textops.SQL_EXACT_DEDUP,

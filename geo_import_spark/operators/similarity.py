@@ -418,3 +418,71 @@ WHERE list_sum(list_transform(range(1, {DIM + 1}), i -> ea.v[i] * eb.v[i]))
    / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> ea.v[i] * ea.v[i])))
       * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> eb.v[i] * eb.v[i])))) >= {{threshold}}
 """
+
+
+def knn_classify(embeddings: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
+    """Majority-vote label classification over exact cosine top-k
+    neighbors — the label-propagation / quality-classifier primitive a
+    training-data pipeline runs on top of its ANN index.
+
+    Queries = vec_id < n_queries. Rank 1 of cosine_topk is the query
+    itself (cos = 1), so the vote is over ranks 2..k+1 (true
+    neighbors). Ties in the vote break on the smallest label, making
+    the prediction engine-independent. Output: (query_id, pred_label,
+    n_votes).
+
+    Scale path: the candidate stage is swappable — here the exact
+    brute-force top-k (correctness baseline, broadcast query side);
+    at corpus scale `ann_lsh_topk` / `ann_ivf_topk` produce the same
+    (query_id, vec_id) shape and slot in unchanged. The vote itself
+    touches only n_queries x k rows: the top-k frame is broadcast into
+    the label join so the corpus never shuffles, and both aggregations
+    run on a driver-trivial frame.
+    """
+    topk = cosine_topk(embeddings, n_queries=n_queries, k=k + 1).filter(
+        F.col("rank") > 1
+    )
+    labeled = embeddings.select("vec_id", "label").join(
+        F.broadcast(topk), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {{n_queries}}),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])))
+              * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * v[i])))) AS cos
+  FROM e CROSS JOIN q
+),
+tk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM cand
+  ) WHERE rank BETWEEN 2 AND {{k_plus_1}}
+),
+votes AS (
+  SELECT t.query_id, e2.label, COUNT(*) AS n_votes
+  FROM tk t JOIN embeddings e2 ON t.vec_id = e2.vec_id
+  GROUP BY t.query_id, e2.label
+)
+SELECT query_id, label AS pred_label, n_votes FROM (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""

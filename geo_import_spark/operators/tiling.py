@@ -256,3 +256,44 @@ def density_contours(points: DataFrame, level: int = 4,
         ((F.col("x1") + 1).cast("double") / nf * 360.0 - 180.0).alias("lon_max"),
         (90.0 - F.col("y").cast("double") / nf * 180.0).alias("lat_max"),
     )
+
+
+def hot_cells(points: DataFrame, level: int = 4, top: int = 20) -> DataFrame:
+    """Skew diagnostic over the engine's real spatial index: per-cell
+    point counts ranked against the mean cell load.
+
+    This is the observability half of SURVEY §4.2.2's hot-cell salting
+    strategy — before choosing a salt factor you measure which cells
+    are hot and by how much. Output: the `top` heaviest cells as
+    (cell_id, n_points, skew_ratio) where skew_ratio = n_points /
+    (total_points / n_distinct_cells); a ratio near 1 means uniform
+    load, >> 1 flags a straggler cell that salting must split.
+
+    Scale path: one map-side-combined shuffle on cell_id (the same
+    partial-agg plan as a word count); the per-cell histogram is at
+    most 4^level rows, so the mean and the top-k sort run on a
+    broadcast-sized frame. Cell encode is `cells.cell_col` — pure JVM
+    integer/float math inside whole-stage codegen.
+
+    Deterministic: ties in n_points break on cell_id ascending, so the
+    LIMIT boundary is engine-independent.
+    """
+    from geo_import_spark.functions import cells as cellmod
+
+    cell = cellmod.cell_col(F.col("lon"), F.col("lat"), level)
+    counts = points.groupBy(cell.alias("cell_id")).agg(F.count("*").alias("n_points"))
+    stats = counts.agg(
+        F.sum("n_points").alias("total"), F.count("*").alias("n_cells")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "cell_id",
+            "n_points",
+            (F.col("n_points") / (F.col("total") / F.col("n_cells"))).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n_points").desc(), F.col("cell_id").asc())
+        .limit(top)
+    )

@@ -1,0 +1,154 @@
+"""Round-3 batch f: span-sequence fingerprint (north-rule span
+equality), hot-cell skew diagnostic, kNN majority-vote classifier."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_import_spark import corpus
+from geo_import_spark.operators import similarity
+from geo_import_spark.operators import spans as spansmod
+from geo_import_spark.operators import tiling
+
+
+# --- span_fingerprint -------------------------------------------------------
+
+def test_span_fingerprint_invariant_under_array_permutation(spark, sf_dir):
+    """fp orders by the stored offset, not array position: reversing
+    the array changes nothing."""
+    docs = corpus.documents(spark, sf_dir)
+    base = spansmod.span_fingerprint(docs)
+    reversed_docs = docs.select("doc_id", F.reverse("spans").alias("spans"))
+    again = spansmod.span_fingerprint(reversed_docs)
+    assert base.join(again, ["doc_id", "n_spans", "fp"]).count() == base.count()
+
+
+def test_span_fingerprint_detects_order_swap(spark, sf_dir):
+    """Swapping two spans' offsets (same content, different order) must
+    change the fingerprint — order is part of span-sequence equality."""
+    docs = corpus.documents(spark, sf_dir).filter(F.size("spans") >= 2)
+    swapped = docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                F.when(x["offset"] == 0, F.lit(1))
+                .when(x["offset"] == 1, F.lit(0))
+                .otherwise(x["offset"])
+                .cast("int")
+                .alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    base = spansmod.span_fingerprint(docs)
+    mut = spansmod.span_fingerprint(swapped)
+    assert base.join(mut, ["doc_id", "fp"]).count() == 0
+
+
+def test_span_fingerprint_detects_content_mutation(spark, sf_dir):
+    """Flipping one media_ref byte changes exactly the docs that carry
+    a media span."""
+    docs = corpus.documents(spark, sf_dir)
+    mut = docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                F.when(x["kind"] == "media", F.concat(x["media_ref"], F.lit("X")))
+                .otherwise(x["media_ref"])
+                .alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    base = spansmod.span_fingerprint(docs).withColumnRenamed("fp", "fp0")
+    after = spansmod.span_fingerprint(mut).withColumnRenamed("fp", "fp1")
+    j = base.join(after, "doc_id")
+    changed = j.filter(F.col("fp0") != F.col("fp1")).count()
+    with_media = docs.filter(
+        F.exists("spans", lambda x: x["kind"] == "media")
+    ).count()
+    assert changed == with_media > 0
+
+
+def test_span_fingerprint_is_pure_map(spark, sf_dir):
+    """No shuffle, no Python: the plan is scan -> project only."""
+    plan = spansmod.span_fingerprint(
+        corpus.documents(spark, sf_dir)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# --- hot_cells --------------------------------------------------------------
+
+def test_hot_cells_flags_planted_hot_cell(spark):
+    """300 points in one cell vs 1 point in each of 50 others: the hot
+    cell ranks first with skew_ratio ~= 300 / mean."""
+    rows = [(5.0 + i * 1e-4, 5.0) for i in range(300)]
+    rows += [(-170.0 + 11.3 * j, -80.0 + 3.1 * j) for j in range(50)]
+    pts = spark.createDataFrame(rows, ["lon", "lat"])
+    out = tiling.hot_cells(pts, level=4, top=5).collect()
+    assert out[0]["n_points"] == 300
+    from geo_import_spark.functions import cells as cellmod
+
+    n_cells = (
+        pts.select(cellmod.cell_col(F.col("lon"), F.col("lat"), 4).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert out[0]["skew_ratio"] == pytest.approx(300 / (350 / n_cells))
+    ratios = [r["skew_ratio"] for r in out]
+    assert ratios[0] > 1.0
+    assert all(a >= b for a, b in zip(ratios, ratios[1:]))
+
+
+def test_hot_cells_deterministic_tiebreak(spark):
+    """Equal-count cells order by cell_id ascending at the limit edge."""
+    rows = [(-170.0 + 11.3 * j, -80.0 + 3.1 * j) for j in range(30)]
+    pts = spark.createDataFrame(rows, ["lon", "lat"])
+    a = [
+        (r["n_points"], r["cell_id"])
+        for r in tiling.hot_cells(pts, level=4, top=10).collect()
+    ]
+    b = [
+        (r["n_points"], r["cell_id"])
+        for r in tiling.hot_cells(pts, level=4, top=10).collect()
+    ]
+    assert a == b
+    assert a == sorted(a, key=lambda t: (-t[0], t[1]))
+
+
+# --- knn_classify -----------------------------------------------------------
+
+def test_knn_classify_matches_numpy_vote(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["query_id"]: (r["pred_label"], r["n_votes"])
+        for r in similarity.knn_classify(emb, n_queries=8, k=10).collect()
+    }
+    pdf = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).df()
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].to_numpy()
+    vec_ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in range(8):
+        qi = int(np.where(vec_ids == q)[0][0])
+        cos = vecs @ vecs[qi] / (norms * norms[qi])
+        # rank by (cos desc, vec_id asc); drop rank 1 (self), take 10
+        order = sorted(range(len(cos)), key=lambda i: (-cos[i], vec_ids[i]))
+        neigh = order[1:11]
+        votes = {}
+        for i in neigh:
+            votes[labels[i]] = votes.get(labels[i], 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[q] == (best[0], best[1]), q
