@@ -275,6 +275,18 @@ def _knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_classify(emb, n_queries=ANN_QUERIES, k=10)
 
 
+def _nearest_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.documents(spark, sf_dir)
+    return knnmod.nearest_poly_join(
+        geojson.point_spans(docs).select("doc_id", "lon", "lat"),
+        corpus.polygons(spark, sf_dir),
+    )
+
+
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_token_stats(_docs(spark, sf_dir))
+
+
 # --- training-data pipeline queries (documents/embeddings/events tables) ---
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": _span_roundtrip,
         "hot_cells": _hot_cells,
         "knn_classify": _knn_classify,
+        "nearest_poly": _nearest_poly,
+        "bpe_token_stats": _bpe_token_stats,
         "text_stats": _text_stats,
         "token_counts": _token_counts,
         "dedup_exact": _dedup_exact,
@@ -910,6 +924,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": similarity.SQL_KNN_CLASSIFY.format(
             n_queries=ANN_QUERIES, k_plus_1=11
         ),
+        "nearest_poly": knnmod.SQL_NEAREST_POLY.format(pts=_PTS, polys=_POLYS),
+        "bpe_token_stats": textops.SQL_BPE_TOKEN_STATS,
         "text_stats": textops.SQL_TEXT_STATS,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "dedup_exact": textops.SQL_EXACT_DEDUP,

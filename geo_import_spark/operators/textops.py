@@ -338,3 +338,44 @@ SELECT doc_id,
               THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS simhash
 FROM t
 """
+
+
+# GPT-2-style pre-tokenizer approximation, restricted to the regex
+# subset Java (Spark) and RE2 (DuckDB) match identically: letter runs,
+# digit runs, punctuation runs — each optionally absorbing one leading
+# space — plus residual space runs. No lookarounds (RE2 has none).
+BPE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token counts under a BPE-ish pre-tokenizer regex next to
+    the whitespace count, plus the chars-per-token compression proxy a
+    training-data pipeline budgets sequence lengths with.
+
+    (doc_id, n_ws_tokens, n_bpe_tokens, chars_per_token). Pure map —
+    one JVM regexp_extract_all per row, no shuffle; the regex is the
+    engine-portable core of the GPT-2 pattern (the real tokenizer's
+    lookahead `\\s+(?!\\S)` is unsupported by RE2, so the split on
+    trailing-space runs differs from tiktoken by design — documented,
+    deterministic, identical in the SQL mirror).
+    """
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    n_bpe = F.size(bpe)
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_bpe.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({SQL_TOKENS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
+         AS chars_per_token
+FROM documents
+"""

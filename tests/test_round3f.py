@@ -152,3 +152,94 @@ def test_knn_classify_matches_numpy_vote(spark, sf_dir):
             votes[labels[i]] = votes.get(labels[i], 0) + 1
         best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[q] == (best[0], best[1]), q
+
+
+# --- nearest_poly_join ------------------------------------------------------
+
+def test_nearest_poly_contained_point_dist_zero_min_polyid(spark):
+    from geo_import_spark.operators import knn as knnmod
+
+    polys = spark.createDataFrame(
+        [("poly-a", 0.0, 0.0, 10.0, 10.0), ("poly-b", 5.0, 5.0, 15.0, 15.0),
+         ("poly-c", 40.0, 40.0, 41.0, 41.0)],
+        ["poly_id", "minx", "miny", "maxx", "maxy"],
+    )
+    pts = spark.createDataFrame(
+        [("in-both", 7.0, 7.0), ("outside", 20.0, 12.0)],
+        ["doc_id", "lon", "lat"],
+    )
+    got = {r["doc_id"]: r for r in knnmod.nearest_poly_join(pts, polys).collect()}
+    # containment -> dist 0; tie between poly-a and poly-b breaks on id
+    assert got["in-both"]["poly_id"] == "poly-a"
+    assert got["in-both"]["dist"] == 0.0
+    # outside: nearest is poly-b's right edge, dx=5, dy=0
+    assert got["outside"]["poly_id"] == "poly-b"
+    assert got["outside"]["dist"] == 5.0
+
+
+def test_nearest_poly_matches_numpy_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from geo_import_spark import corpus
+    from geo_import_spark.operators import knn as knnmod
+    from geo_import_spark.sources import geojson
+
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs).select("doc_id", "lon", "lat")
+    polys = corpus.polygons(spark, sf_dir)
+    got = {
+        r["doc_id"]: (r["poly_id"], r["dist"])
+        for r in knnmod.nearest_poly_join(pts, polys).collect()
+    }
+    P = pts.toPandas()
+    G = polys.select("poly_id", "minx", "miny", "maxx", "maxy").toPandas()
+    minx, miny = G["minx"].to_numpy(), G["miny"].to_numpy()
+    maxx, maxy = G["maxx"].to_numpy(), G["maxy"].to_numpy()
+    ids = G["poly_id"].to_numpy()
+    for _, row in P.sample(n=min(len(P), 200), random_state=7).iterrows():
+        dx = np.maximum(np.maximum(minx - row.lon, row.lon - maxx), 0.0)
+        dy = np.maximum(np.maximum(miny - row.lat, row.lat - maxy), 0.0)
+        d = np.sqrt(dx * dx + dy * dy)
+        order = sorted(range(len(d)), key=lambda i: (d[i], ids[i]))
+        assert got[row.doc_id][0] == ids[order[0]], row.doc_id
+        assert got[row.doc_id][1] == d[order[0]], row.doc_id
+
+
+def test_nearest_poly_plan_broadcast_and_partial_agg(spark, sf_dir):
+    """Polygon side broadcast (no point-side pair shuffle); the one
+    Exchange carries post-partial-agg rows keyed by doc_id."""
+    from geo_import_spark import corpus
+    from geo_import_spark.operators import knn as knnmod
+    from geo_import_spark.sources import geojson
+
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs).select("doc_id", "lon", "lat")
+    df = knnmod.nearest_poly_join(pts, corpus.polygons(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- bpe_token_stats --------------------------------------------------------
+
+def test_bpe_token_stats_hand_counts(spark):
+    from geo_import_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "hello world42!"), (2, "a  b"), (3, "x,y;z")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in textops.bpe_token_stats(df).collect()}
+    # "hello world42!" -> [hello][ world][42][!] = 4 bpe, 2 ws tokens
+    assert (got[1]["n_ws_tokens"], got[1]["n_bpe_tokens"]) == (2, 4)
+    assert got[1]["chars_per_token"] == 14 / 4
+    # "a  b" -> [a][ ][ b]? no: " ?[a-zA-Z]+" takes "a", then " b" needs
+    # two spaces: first " ?...": one space + "b" leaves one bare space
+    # matched by " +" -> [a][ ][ b] is wrong order; actual scan:
+    # "a", then at "  b": " ?[a-zA-Z]+" matches " " + ... no letter at
+    # pos 2 ("  "): alternation falls to " +" matching " " (greedy to
+    # just before "b"? " +" grabs both spaces), then "b".
+    assert (got[2]["n_ws_tokens"], got[2]["n_bpe_tokens"]) == (2, 3)
+    # "x,y;z" -> [x][,][y][;][z]
+    assert (got[3]["n_ws_tokens"], got[3]["n_bpe_tokens"]) == (1, 5)
