@@ -287,6 +287,10 @@ def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
 
+def _source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trainprep.source_mix_sample(_docs(spark, sf_dir))
+
+
 # --- training-data pipeline queries (documents/embeddings/events tables) ---
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _knn_classify,
         "nearest_poly": _nearest_poly,
         "bpe_token_stats": _bpe_token_stats,
+        "source_mix_sample": _source_mix_sample,
         "text_stats": _text_stats,
         "token_counts": _token_counts,
         "dedup_exact": _dedup_exact,
@@ -926,6 +931,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nearest_poly": knnmod.SQL_NEAREST_POLY.format(pts=_PTS, polys=_POLYS),
         "bpe_token_stats": textops.SQL_BPE_TOKEN_STATS,
+        "source_mix_sample": trainprep.SQL_SOURCE_MIX_SAMPLE.format(
+            target=trainprep.MIX_TARGET
+        ),
         "text_stats": textops.SQL_TEXT_STATS,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "dedup_exact": textops.SQL_EXACT_DEDUP,

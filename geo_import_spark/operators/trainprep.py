@@ -525,3 +525,86 @@ SELECT doc_id, source, n_tokens,
        CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS seq_id
 FROM c
 """
+
+
+# --- temperature mixture resampling ------------------------------------------
+
+MIX_ALPHA = 0.5
+MIX_TARGET = 200
+
+
+def source_mix_sample(documents: DataFrame, alpha: float = MIX_ALPHA,
+                      target: int = MIX_TARGET) -> DataFrame:
+    """Temperature-based data-mixture resampling: per-source quotas
+    proportional to n_source^alpha (alpha < 1 upweights small sources,
+    the standard multilingual/multi-source training-mix move), filled
+    deterministically by md5 rank so the same corpus always yields the
+    same sample.
+
+    quota_s = floor(target * n_s^alpha / Z), Z = sum over sources (in
+    source order) of n_s^alpha. The per-source histogram is
+    dimension-sized (one row per source), so collecting it to the
+    driver is the same contract as broadcasting a dim table; the quota
+    map re-enters the plan as a literal CASE. Selection = row_number
+    over (md5(doc_id), doc_id) per source — rehash-stable and
+    engine-portable. One scan + one shuffle on source (the ranking
+    window); the histogram pass is map-side-combined.
+
+    Z folds left-to-right over source-sorted weights — the DuckDB
+    mirror folds the identically-ordered list, so quotas are bit-exact
+    across engines. alpha=0.5 uses correctly-rounded sqrt on both
+    sides; other alphas use pow (documented: pow parity is
+    platform-typical but not IEEE-guaranteed).
+    """
+    import math
+
+    rows = sorted(
+        documents.groupBy("source").count().collect(), key=lambda r: r["source"]
+    )
+    weights = [
+        (r["source"], math.sqrt(float(r["count"])) if alpha == 0.5
+         else float(r["count"]) ** alpha)
+        for r in rows
+    ]
+    z = 0.0
+    for _, wgt in weights:
+        z += wgt
+    quota = None
+    for src, wgt in weights:
+        q = int(math.floor(target * wgt / z))
+        quota = (
+            F.when(F.col("source") == src, F.lit(q))
+            if quota is None
+            else quota.when(F.col("source") == src, F.lit(q))
+        )
+    quota = quota.otherwise(F.lit(0))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source", "rk")
+    )
+
+
+SQL_SOURCE_MIX_SAMPLE = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+z AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS z FROM c),
+q AS (
+  SELECT source,
+         CAST(FLOOR({target} * sqrt(CAST(n AS DOUBLE)) / z.z) AS BIGINT) AS quota
+  FROM c, z
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rk
+FROM r JOIN q ON r.source = q.source
+WHERE r.rk <= q.quota
+"""

@@ -243,3 +243,34 @@ def test_bpe_token_stats_hand_counts(spark):
     assert (got[2]["n_ws_tokens"], got[2]["n_bpe_tokens"]) == (2, 3)
     # "x,y;z" -> [x][,][y][;][z]
     assert (got[3]["n_ws_tokens"], got[3]["n_bpe_tokens"]) == (1, 5)
+
+
+# --- source_mix_sample ------------------------------------------------------
+
+def test_source_mix_sample_temperature_quotas(spark):
+    """alpha=0.5: a 100x bigger source gets only 10x the quota."""
+    from geo_import_spark.operators import trainprep
+
+    rows = [(i, "big") for i in range(1600)] + [(9000 + i, "small") for i in range(16)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = trainprep.source_mix_sample(docs, alpha=0.5, target=110)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # weights 40 and 4, Z=44: quotas floor(110*40/44)=100, floor(110*4/44)=10
+    # (10 <= 16 available, so the quota is actually fillable)
+    assert counts == {"big": 100, "small": 10}
+
+
+def test_source_mix_sample_deterministic(spark, sf_dir):
+    from geo_import_spark.operators import trainprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in trainprep.source_mix_sample(docs).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in trainprep.source_mix_sample(docs).collect()
+    )
+    assert a == b and len(a) > 0
