@@ -274,3 +274,54 @@ def test_source_mix_sample_deterministic(spark, sf_dir):
         for r in trainprep.source_mix_sample(docs).collect()
     )
     assert a == b and len(a) > 0
+
+
+# --- streaming exact dedup ---------------------------------------------------
+
+def test_streaming_exact_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark under readStream: duplicated text
+    arriving within the horizon is emitted once; state is keyed on
+    md5(text)."""
+    import pandas as pd
+
+    from geo_import_spark.streaming import dedup as sdedup
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(40):
+        # 20 distinct texts, each duplicated once 5 minutes later
+        rows.append((i, f"text number {i % 20}", base + pd.Timedelta(minutes=i % 20)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    # Spark's parquet reader rejects TIMESTAMP(NANOS); write micros
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    pdf.to_parquet(src / "part-0.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = sdedup.streaming_exact_dedup(stream, horizon="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text FROM dedup_smoke").toPandas()
+    assert len(got) == 20
+    assert sorted(got["text"]) == sorted(f"text number {i}" for i in range(20))
+    # batch twin agrees on the surviving content set
+    batch_out = sdedup.streaming_exact_dedup(
+        batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    assert sorted(r["text"] for r in batch_out.select("text").collect()) == sorted(
+        got["text"]
+    )
