@@ -39,28 +39,28 @@ PERM_B = [(j * 1779033703 + 7) % MINHASH_P for j in range(1, NUM_PERM + 1)]
 def shingles_of_tokens(toks, n: int = NGRAM):
     """Distinct word n-grams (space-joined) of a token-array column.
 
-    PASS A MATERIALIZED COLUMN, not the tokens_col(...) expression:
-    the lambda references `toks` 3 times per gram, and higher-order
-    arguments are re-evaluated per element (no CSE) — an inlined
-    split/filter chain turns shingling O(n^2)-interpreted per row
-    (measured ~10x on the minhash family). Stage tokens with
-    .select(tokens_col(...).alias("toks")) first.
+    Implemented as ONE JVM regex scan over the space-joined tokens:
+    a zero-width lookahead captures the n-gram starting at each token
+    while the match consumes exactly one token, yielding every
+    overlapping gram in a single pass. This replaced a
+    transform(sequence, i -> concat_ws(element_at...)) lambda whose
+    interpreted per-gram evaluation (higher-order functions never
+    enter whole-stage codegen) measured ~77 us/gram — 21 s for a
+    260k-gram explode at sf0.1; the regex form is ~7x faster and
+    bit-identical (exceptAll both ways == 0). Tokens are \\S+ by
+    construction (tokens_col splits on \\s+), so joining with single
+    spaces reconstructs them exactly.
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + d).cast("int")) for d in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    norm = F.array_join(toks, " ")
+    pat = r"(?=(" + r" ".join([r"\S+"] * n) + r"))\S+ ?"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    # null toks must yield [] (the old when/otherwise contract), not null
+    return F.array_distinct(F.coalesce(grams, F.array().cast("array<string>")))
 
 
 def shingles_col(text_col, n: int = NGRAM):
-    """Distinct word n-grams of a text column — convenience form for
-    one-shot use; hot paths should stage tokens and call
-    shingles_of_tokens (see its docstring)."""
+    """Distinct word n-grams of a text column — convenience form over
+    shingles_of_tokens (one regex scan; see its docstring)."""
     return shingles_of_tokens(tokens_col(text_col), n)
 
 
