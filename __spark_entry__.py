@@ -294,7 +294,11 @@ def _source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-data pipeline queries (documents/embeddings/events tables) ---
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file parquet scans at test SF are 1 partition; spread so
+    # map-heavy stages (shingling, scoring) run wide (no-op at scale)
+    return corpus.spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _text_stats(spark, sf_dir):

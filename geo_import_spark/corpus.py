@@ -47,6 +47,24 @@ N_POLY_REPLICAS = 4
 KNN_K = 10
 
 
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a narrow base scan across the cluster before expensive
+    downstream map work.
+
+    The single-file test parquet yields 1-2 input partitions, so every
+    downstream map stage — including the Arrow parse UDF — would run on
+    1-2 tasks no matter how many cores (measured: the sf0.1 layer-merge
+    parse ran single-threaded, 12 s vs 1.3 s wide). Repartitioning the
+    NARROW base (a few MB) is one cheap shuffle that parallelizes all
+    the generated/parsed work after it. No-op when the scan already has
+    >= defaultParallelism partitions — a real table at 100 TB always
+    does, so this never adds a shuffle at scale."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _point_lon(key):
     return ((key * F.lit(2654435761)) % 360000000) / 1000000.0 - 180.0
 
@@ -57,7 +75,7 @@ def _point_lat(key):
 
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One WGS84 point per order: (doc_id, lon, lat, a_string, a_num)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spread_scan(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
     k = F.col("o_orderkey")
     return orders.select(
         F.concat(F.lit("doc-"), k.cast("string")).alias("doc_id"),
@@ -75,7 +93,7 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       text('order <k> <status>'), geometry(GeoJSON Feature),
       media('media://<hash>') for even keys, text(priority) for k%3==0.
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spread_scan(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
     k = F.col("o_orderkey")
     lon = _point_lon(k)
     lat = _point_lat(k)
@@ -296,7 +314,7 @@ def mixed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     The r=3 null-typed rows land in the same layer as r=0 via the
     null-wildcard match + refinement (layer.js:135-154, 214-236).
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spread_scan(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
     k = F.col("o_orderkey")
     lon = _point_lon(k)
     lat = _point_lat(k)
@@ -335,7 +353,7 @@ def mercator_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry corpus in EPSG:3857 meters (per-feature crs tag) for
     the reprojection operator — Web-Mercator inverse is closed-form,
     so the DuckDB oracle recomputes WGS84 output exactly."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spread_scan(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
     k = F.col("o_orderkey")
     mx = ((k * 2654435761) % 35990000000) / 1000.0 - 17995000.0
     my = ((k * 1779033703 + 999) % 39970000000) / 1000.0 - 19985000.0

@@ -75,9 +75,24 @@ class LayerSchema:
         return DATA_TYPE_NAME[self.geom_ctype]
 
 
+# Control-char separators for the fingerprint string: \x1d between the
+# (geom, names, ctypes, crs) sections, \x1e between list elements.
+# Raw property names/ctypes never contain control chars (they come from
+# JSON keys / the fixed ctype vocabulary), so the encoding is injective.
+_FP_SEC = "\x1d"
+_FP_ELEM = "\x1e"
+
+
 def fingerprint_col():
     """JVM-side row fingerprint: geometry ctype + ordered raw
-    (name, ctype) pairs + crs."""
+    (name, ctype) pairs + crs.
+
+    Built entirely from codegen-native expressions: `props.name` /
+    `props.ctype` are GetArrayStructFields (no lambda), joined with a
+    control-char separator. The previous to_json(transform(props, ...))
+    form evaluated an interpreted higher-order lambda per element —
+    ~9 s per pass over 150k rows at sf0.1 vs sub-second for this form
+    (and merge_layers makes two passes)."""
     geom_ct = F.coalesce(
         *[
             F.when(F.col("geom.gtype") == g, F.lit(c))
@@ -85,14 +100,14 @@ def fingerprint_col():
         ],
         F.lit("null"),
     )
-    return F.to_json(
-        F.struct(
-            geom_ct.alias("g"),
-            F.transform(
-                "props", lambda p: F.struct(p["name"].alias("n"), p["ctype"].alias("t"))
-            ).alias("c"),
-            F.coalesce(F.col("crs"), F.lit("")).alias("s"),
-        )
+    # concat_ws SKIPS null args (section misalignment), so every
+    # section is null-guarded even though props is non-null by schema
+    return F.concat_ws(
+        _FP_SEC,
+        geom_ct,
+        F.coalesce(F.array_join(F.col("props.name"), _FP_ELEM), F.lit("")),
+        F.coalesce(F.array_join(F.col("props.ctype"), _FP_ELEM), F.lit("")),
+        F.coalesce(F.col("crs"), F.lit("")),
     )
 
 
@@ -114,14 +129,12 @@ def unify_fingerprints(fps_in_order: list[dict]) -> list[LayerSchema]:
     distinct fingerprint (in first-occurrence order) find the first
     matching layer (null-wildcard), refine its null types, else open a
     new layer."""
-    import json
-
     layers: list[LayerSchema] = []
     for fp_str in fps_in_order:
-        fp = json.loads(fp_str)
-        g = fp["g"]
-        cols = [(c["n"], c["t"]) for c in fp.get("c") or []]
-        crs = fp["s"]
+        g, names_s, ctypes_s, crs = fp_str.split(_FP_SEC)
+        names = names_s.split(_FP_ELEM) if names_s else []
+        ctypes = ctypes_s.split(_FP_ELEM) if ctypes_s else []
+        cols = list(zip(names, ctypes))
         target = None
         for layer in layers:
             if layer.crs != crs:
@@ -174,7 +187,11 @@ def merge_layers(parsed: DataFrame):
 
 
 def _prop_value(name: str, ctype: str):
-    v = F.filter("props", lambda p: p["name"] == name)[0]["value"]
+    # first-match lookup without an interpreted filter-lambda:
+    # array_position returns the FIRST index of name (same semantics as
+    # filter(...)[0]), and both expressions are codegen-native
+    pos = F.array_position(F.col("props.name"), name)
+    v = F.when(pos > 0, F.element_at(F.col("props.value"), pos.cast("int")))
     if ctype == "number":
         return v.cast("double")
     if ctype == "boolean":
