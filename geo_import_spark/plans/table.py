@@ -439,6 +439,93 @@ class Table:
             "snapshot_id": out["snapshot_id"],
         }
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        stat_cols: list[str] | None = None,
+    ) -> dict:
+        """MERGE by key (Iceberg copy-on-write MERGE INTO): rows whose
+        key matches an update row are replaced, unmatched update rows
+        are inserted, everything else is untouched.
+
+        Scale shape: the manifest's per-file min/max stats on the
+        FIRST key column prune the rewrite set — a file whose key
+        range cannot overlap the updates' overall [min, max] is
+        carried into the new snapshot BY REFERENCE (no read, no
+        write). Only overlapping files are read, anti-joined against
+        the (broadcastable) update keys, and rewritten alongside the
+        update rows. At 100 TB with keys clustered by commit order
+        (or after compact(sort_by=keys)), a point-update batch
+        rewrites a handful of files, not the table. Files without
+        stats on the key column are conservatively rewritten.
+
+        Pass `stat_cols` (defaulting to key_cols) so the NEW files get
+        key stats and stay prunable for the next upsert. Partitioned
+        (base_path) snapshots rewrite the full file set — same
+        basePath-mixing constraint as compact()."""
+        snap = self.current_snapshot()
+        if snap is None or not snap["files"]:
+            # empty table: an upsert is just the first commit
+            out = self.commit(
+                spark, updates, "overwrite", stat_cols=stat_cols or key_cols
+            )
+            return {
+                "rewritten": 0,
+                "kept": 0,
+                "inserted_snapshot": out["snapshot_id"],
+                "snapshot_id": out["snapshot_id"],
+            }
+        stat_cols = stat_cols or key_cols
+        base_path = snap.get("base_path")
+        k0 = key_cols[0]
+        if base_path:
+            rewrite, keep = list(snap["files"]), []
+        else:
+            from pyspark.sql import functions as F
+
+            b = updates.agg(
+                F.min(k0).alias("lo"), F.max(k0).alias("hi")
+            ).collect()[0]
+            lo, hi = b["lo"], b["hi"]
+            rewrite, keep = [], []
+            for f in snap["files"]:
+                st = f.get("stats") or {}
+                fmin, fmax = st.get(f"min_{k0}"), st.get(f"max_{k0}")
+                overlaps = (
+                    fmin is None
+                    or fmax is None
+                    or lo is None
+                    or not (fmax < lo or fmin > hi)
+                )
+                (rewrite if overlaps else keep).append(f)
+        if rewrite:
+            old = self._reader(spark, [f["path"] for f in rewrite], base_path)
+            survivors = old.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            new_data = survivors.unionByName(updates.select(*old.columns))
+        else:
+            new_data = updates
+        data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        new_data.write.parquet(data_dir)
+        new_files = self._file_stats(
+            spark, self._collect_files(data_dir), stat_cols
+        )
+        out = self._write_snapshot(
+            new_data.schema.jsonValue(),
+            [dict(f) for f in keep] + new_files,
+            "overwrite",
+            snap.get("properties") or None,
+        )
+        return {
+            "rewritten": len(rewrite),
+            "kept": len(keep),
+            "new": len(new_files),
+            "snapshot_id": out["snapshot_id"],
+        }
+
     def read_pruned(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Manifest-stats file pruning: only read files whose [min,max]
         for `col` intersects [lo, hi] — the Iceberg scan-planning
