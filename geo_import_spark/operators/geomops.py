@@ -35,13 +35,54 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _akl_toussaint_keep(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Indices surviving the Akl–Toussaint prefilter: points strictly
+    inside the octagon spanned by the 8 directional extremes (min/max
+    of x, y, x+y, x-y) can never be hull vertices, and the
+    strictly-inside test is one vectorized pass — the sequential
+    Python chain then only walks the (tiny) boundary shell."""
+    s, d = xs + ys, xs - ys
+    ext = np.unique(
+        np.array(
+            [
+                np.argmin(xs), np.argmax(xs),
+                np.argmin(ys), np.argmax(ys),
+                np.argmin(s), np.argmax(s),
+                np.argmin(d), np.argmax(d),
+            ]
+        )
+    )
+    px, py = xs[ext], ys[ext]
+    # order the extreme points CCW around their centroid to form the
+    # discard polygon
+    ang = np.arctan2(py - py.mean(), px - px.mean())
+    ext = ext[np.argsort(ang)]
+    px, py = xs[ext], ys[ext]
+    if len(ext) < 3:
+        return np.arange(len(xs))
+    inside = np.ones(len(xs), dtype=bool)
+    for i in range(len(ext)):
+        ax, ay = px[i], py[i]
+        bx, by = px[(i + 1) % len(ext)], py[(i + 1) % len(ext)]
+        # strictly-left of every CCW edge = strictly inside
+        inside &= (bx - ax) * (ys - ay) - (by - ay) * (xs - ax) > 0
+    return np.nonzero(~inside)[0]
+
+
 def _hull_indices(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; returns indices of hull vertices in
     CCW order starting at the lexicographic minimum. Collinear edge
-    points are dropped (strict turns only)."""
+    points are dropped (strict turns only). Large inputs are first
+    thinned with the Akl–Toussaint octagon (exact, vectorized) so the
+    Python chain loop is O(shell), not O(n)."""
     n = len(xs)
     if n <= 2:
         return np.arange(n)
+    if n > 64:
+        keep = _akl_toussaint_keep(xs, ys)
+        if len(keep) < n:  # degenerate shells keep everything: no recursion
+            sub = _hull_indices(xs[keep], ys[keep])
+            return keep[sub]
     order = np.lexsort((ys, xs))
     pts = np.stack([xs[order], ys[order]], axis=1)
 
