@@ -31,6 +31,7 @@ from geo_import_spark.operators import temporal as temporalmod
 from geo_import_spark.operators import textops
 from geo_import_spark.operators import tiling
 from geo_import_spark.operators import trainprep
+from geo_import_spark.operators import curation
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
 
@@ -351,6 +352,27 @@ def _stratified_sample(spark, sf_dir):
     return trainprep.stratified_sample(_docs(spark, sf_dir))
 
 
+def _split_assign(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (rehash-stable)."""
+    return curation.split_assign(_docs(spark, sf_dir))
+
+
+def _chunk_documents(spark, sf_dir):
+    """Token-window chunking with overlap (pure JVM array map stage)."""
+    return curation.chunk_documents(_docs(spark, sf_dir))
+
+
+def _lm_score(spark, sf_dir):
+    """Mean corpus unigram log-probability per document."""
+    return curation.lm_score(_docs(spark, sf_dir))
+
+
+def _snapshot_delta(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup vs the doc_id%5==0 snapshot."""
+    docs = _docs(spark, sf_dir)
+    return curation.snapshot_delta(docs, docs.filter(F.col("doc_id") % 5 == 0))
+
+
 def _decontaminate(spark, sf_dir):
     """Benchmark 5-gram contamination sweep (bench = doc_id % 97 == 0)."""
     return trainprep.decontaminate(_docs(spark, sf_dir))
@@ -582,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "rolling_fingerprint": _rolling_fingerprint,
         "stratified_sample": _stratified_sample,
+        "split_assign": _split_assign,
+        "chunk_documents": _chunk_documents,
+        "lm_score": _lm_score,
+        "snapshot_delta": _snapshot_delta,
         "decontaminate": _decontaminate,
         "tfidf_top_terms": _tfidf_top_terms,
         "repetition_stats": _repetition_stats,
@@ -947,6 +973,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.SQL_LANG_ID,
         "rolling_fingerprint": textops.SQL_ROLLING_FINGERPRINT,
         "stratified_sample": trainprep.SQL_STRATIFIED_SAMPLE,
+        "split_assign": curation.SQL_SPLIT_ASSIGN,
+        "chunk_documents": curation.SQL_CHUNK_DOCUMENTS,
+        "lm_score": curation.SQL_LM_SCORE,
+        "snapshot_delta": curation.SQL_SNAPSHOT_DELTA,
         "decontaminate": trainprep.SQL_DECONTAMINATE,
         "tfidf_top_terms": trainprep.SQL_TFIDF_TOP_TERMS,
         "repetition_stats": trainprep.SQL_REPETITION_STATS,
