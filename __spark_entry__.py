@@ -32,6 +32,7 @@ from geo_import_spark.operators import textops
 from geo_import_spark.operators import tiling
 from geo_import_spark.operators import trainprep
 from geo_import_spark.operators import curation
+from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
 
@@ -352,6 +353,21 @@ def _stratified_sample(spark, sf_dir):
     return trainprep.stratified_sample(_docs(spark, sf_dir))
 
 
+def _bm25_search(spark, sf_dir):
+    """BM25 top-20 for the literal query (hash join merge stream)."""
+    return retrieval.bm25_search(_docs(spark, sf_dir))
+
+
+def _winnow_fingerprints(spark, sf_dir):
+    """SIGMOD'03 winnowing local fingerprints (k=5, w=4)."""
+    return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _bpe_top_merges(spark, sf_dir):
+    """Top-20 BPE merge candidates (adjacent char-pair counts)."""
+    return trainprep.bpe_top_merges(_docs(spark, sf_dir))
+
+
 def _split_assign(spark, sf_dir):
     """Deterministic md5-bucket train/val/test split (rehash-stable)."""
     return curation.split_assign(_docs(spark, sf_dir))
@@ -604,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "rolling_fingerprint": _rolling_fingerprint,
         "stratified_sample": _stratified_sample,
+        "bm25_search": _bm25_search,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "bpe_top_merges": _bpe_top_merges,
         "split_assign": _split_assign,
         "chunk_documents": _chunk_documents,
         "lm_score": _lm_score,
@@ -973,6 +992,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.SQL_LANG_ID,
         "rolling_fingerprint": textops.SQL_ROLLING_FINGERPRINT,
         "stratified_sample": trainprep.SQL_STRATIFIED_SAMPLE,
+        "bm25_search": retrieval.SQL_BM25_SEARCH,
+        "winnow_fingerprints": retrieval.SQL_WINNOW_FINGERPRINTS,
+        "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
         "split_assign": curation.SQL_SPLIT_ASSIGN,
         "chunk_documents": curation.SQL_CHUNK_DOCUMENTS,
         "lm_score": curation.SQL_LM_SCORE,

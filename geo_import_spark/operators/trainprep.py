@@ -608,3 +608,50 @@ SELECT r.doc_id, r.source, r.rk
 FROM r JOIN q ON r.source = q.source
 WHERE r.rk <= q.quota
 """
+
+# --- BPE merge induction (step-1 pair counts) ---------------------------------
+
+BPE_MERGE_TOPK = 20
+
+
+def bpe_top_merges(documents: DataFrame, topk: int = BPE_MERGE_TOPK) -> DataFrame:
+    """The first step of BPE vocabulary induction: count every adjacent
+    character pair across all token occurrences and rank the top-k
+    merge candidates (highest count first, ties on the pair).
+
+    Plan: tokens explode to char pairs map-side (JVM transform over a
+    position sequence), then ONE map-side-combined shuffle on the pair
+    key (the key space is alphabet², tiny) and a TakeOrdered top-k.
+    The rank window runs over the already-aggregated pair table — at
+    most |alphabet|² rows — never the corpus.
+
+    Returns (pair, n, rank), rank <= topk.
+    """
+    tok = documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    # sequence(1, 0) yields [1, 0] in Spark: empty ranges go through
+    # filter(sequence(1, greatest(n, 1)), <= n) like retrieval.py
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, greatest(length(tok) - 1, 1)),"
+                " i -> i <= length(tok) - 1), i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(topk)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+SQL_BPE_TOP_MERGES = f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS tok FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                               i -> substr(tok, i, 2))) AS pair
+  FROM tok WHERE length(tok) >= 2
+),
+c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INT) AS rank
+FROM (SELECT * FROM c ORDER BY n DESC, pair ASC LIMIT {BPE_MERGE_TOPK})
+"""
