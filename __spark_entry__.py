@@ -461,6 +461,11 @@ def _media_resize(spark, sf_dir):
     return multimodal.resize_plan(_media_features(spark, sf_dir))
 
 
+def _events_sliding(spark, sf_dir):
+    """Sliding 1h/15m windows: overlapping per-type counts + sums."""
+    return eventsmod.sliding_counts(_events(spark, sf_dir))
+
+
 def _events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return eventsmod.windowed_counts(ev)
@@ -644,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "media_resize": _media_resize,
         "events_window": _events_window,
+        "events_sliding": _events_sliding,
         "sessionize": _sessionize,
         "asof_join": _asof_join,
         "range_join_events": _range_join_events,
@@ -1045,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "events_window": eventsmod.SQL_WINDOWED_COUNTS,
+        "events_sliding": eventsmod.SQL_SLIDING_COUNTS,
         "sessionize": eventsmod.SQL_SESSIONIZE.format(gap=30 * 60),
         "asof_join": temporalmod.SQL_ASOF_JOIN.format(
             left_type=temporalmod.ASOF_LEFT, right_type=temporalmod.ASOF_RIGHT

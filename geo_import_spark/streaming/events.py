@@ -108,3 +108,67 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_id,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_seq
 """
+
+
+SLIDE_WIDTH = "1 hour"
+SLIDE_STEP = "15 minutes"
+_SLIDE_WIDTH_US = 3_600_000_000
+_SLIDE_STEP_US = 900_000_000
+
+
+def sliding_counts(events: DataFrame,
+                   width: str = SLIDE_WIDTH,
+                   slide: str = SLIDE_STEP) -> DataFrame:
+    """Sliding-window per-type counts + exact micro-unit sums: every
+    event contributes to width/slide overlapping windows (Spark's
+    built-in sliding `window()`, epoch-aligned starts every `slide`).
+
+    Scale shape: the window explode is map-side (each event fans out
+    to 4 (win, row) pairs before the ONE map-side-combined shuffle on
+    (event_type, window)); output cardinality is bounded by
+    types x (horizon/slide), not by events. The identical aggregation
+    runs under readStream + withWatermark (with the HLL++ user count,
+    as windowed_counts documents).
+
+    events -> (event_type, win_start, n, total_micros, n_users).
+    """
+    micros = F.floor(F.col("value") * 1_000_000).cast("long")
+    return (
+        events.groupBy("event_type", F.window("ts", width, slide).alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(micros).alias("total_micros"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("win_start"),
+            "n",
+            "total_micros",
+            "n_users",
+        )
+    )
+
+
+# mirror: the windows containing ts have epoch-aligned starts
+# s in {s_max - width + slide, ..., s_max}, s_max = slide * (us // slide)
+SQL_SLIDING_COUNTS = f"""
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS micros,
+         epoch_us(ts) AS us
+  FROM events
+),
+w AS (
+  SELECT event_type, user_id, micros,
+         unnest(generate_series(
+           (us // {_SLIDE_STEP_US}) * {_SLIDE_STEP_US} - {_SLIDE_WIDTH_US - _SLIDE_STEP_US},
+           (us // {_SLIDE_STEP_US}) * {_SLIDE_STEP_US},
+           {_SLIDE_STEP_US})) AS ws
+  FROM e
+)
+SELECT event_type, make_timestamp(ws) AS win_start, COUNT(*) AS n,
+       CAST(SUM(micros) AS BIGINT) AS total_micros,
+       COUNT(DISTINCT user_id) AS n_users
+FROM w GROUP BY event_type, ws
+"""

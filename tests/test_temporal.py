@@ -103,3 +103,39 @@ def test_group_quantiles_picks_order_statistics(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.n, r.q50_micros, r.q90_micros, r.q99_micros) == (5, 3, 4, 4)
+
+
+# --- sliding windows ---------------------------------------------------------
+
+def test_sliding_counts_fanout_and_membership(spark, sf_dir):
+    """Every event lands in exactly width/slide = 4 windows, and each
+    window's count equals the brute-force count of events whose ts
+    falls in [start, start + width)."""
+    from geo_import_spark.streaming import events as eventsmod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = eventsmod.sliding_counts(ev).cache()
+    assert (
+        out.agg(F.sum("n")).collect()[0][0] == 4 * ev.count()
+    )
+    # spot-check 5 windows against a direct interval count
+    for r in out.orderBy("event_type", "win_start").limit(5).collect():
+        direct = ev.filter(
+            (F.col("event_type") == r["event_type"])
+            & (F.col("ts") >= r["win_start"])
+            & (F.col("ts") < F.lit(r["win_start"]) + F.expr("INTERVAL 1 HOUR"))
+        ).count()
+        assert direct == r["n"], r
+    out.unpersist()
+
+
+def test_sliding_counts_starts_are_slide_aligned(spark, sf_dir):
+    from geo_import_spark.streaming import events as eventsmod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bad = (
+        eventsmod.sliding_counts(ev)
+        .filter(F.expr("minute(win_start) % 15 != 0 OR second(win_start) != 0"))
+        .count()
+    )
+    assert bad == 0
