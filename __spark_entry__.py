@@ -415,6 +415,12 @@ def _pack_sequences(spark, sf_dir):
     return trainprep.pack_sequences(_docs(spark, sf_dir))
 
 
+def _kmeans_embed(spark, sf_dir):
+    """Deterministic Lloyd k-means (quantized, hash-exact)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.kmeans_embed(emb)
+
+
 def _embed_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the LSH bucket join."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -646,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embed_near_dups,
+        "kmeans_embed": _kmeans_embed,
         "media_features": _media_features,
         "media_resize": _media_resize,
         "events_window": _events_window,
@@ -1032,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": similarity.SQL_EMBED_NEAR_DUPS.format(
             threshold=EMBED_DUP_THRESHOLD
         ),
+        "kmeans_embed": similarity.SQL_KMEANS_EMBED,
         "media_features": multimodal.sql_media_features(
             """
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

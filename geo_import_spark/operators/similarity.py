@@ -486,3 +486,136 @@ SELECT query_id, label AS pred_label, n_votes FROM (
   FROM votes
 ) WHERE rn = 1
 """
+
+
+# --- deterministic k-means (Lloyd) over quantized embeddings -------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 1  # centroid updates (the oracle mirrors this default)
+KMEANS_SCALE = 1_000_000
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q): embedding quantized to integer micro-units.
+    floor(x * 1e6) is exact and engine-identical, and every later step
+    (distance, argmin, centroid floor-mean) is integer or
+    deterministic double math — the whole algorithm is hash-exact
+    across engines, unlike float means whose value depends on
+    reduction order."""
+    return embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(x * {KMEANS_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+
+
+def _kmeans_assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Map-only assignment against literal centroid arrays: exact
+    squared-L2 in bigint (|q| <= 1e6, dim 64 -> max 2.6e14, no
+    overflow), argmin ties to the smaller cluster id."""
+    k = len(centroids)
+    dcols = []
+    for j, c in enumerate(centroids):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        dcols.append(
+            F.aggregate(
+                F.zip_with("q", arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"d{j}")
+        )
+    staged = qdf.select("vec_id", "q", *dcols)
+    m = F.least(*[F.col(f"d{j}") for j in range(k)])
+    cl = F.when(F.col("d0") == m, 0)
+    for j in range(1, k):
+        cl = cl.when(F.col(f"d{j}") == m, j)
+    return staged.select(
+        "vec_id", "q", cl.cast("int").alias("cluster"), m.alias("dist")
+    )
+
+
+def kmeans_embed(embeddings: DataFrame,
+                 k: int = KMEANS_K,
+                 iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding table.
+
+    Init: the k vectors with the smallest vec_id (seed-free,
+    reproducible). Each iteration: (1) map-only assignment against
+    the k x dim literal centroid grid — the corpus NEVER shuffles for
+    assignment; (2) centroid update = posexplode to (cluster, pos)
+    partial sums — ONE map-side-combined shuffle whose reduced size is
+    k x dim x partitions, collected as k x dim longs to the driver
+    (dimension-sized, never data); component mean is
+    floor(double(s)/double(n)) (same expression as the mirror — `div`
+    truncation differs between engines on negatives). Empty clusters
+    keep their previous centroid.
+
+    Returns the final assignment (vec_id, cluster, dist) with dist
+    the exact bigint squared distance in micro-units².
+    """
+    import math
+
+    qdf = _quantized(embeddings)
+    seed_rows = qdf.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["q"]) for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = _kmeans_assign(qdf, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty clusters keep old
+        for r in sums:
+            nxt[r["cluster"]][r["pos"]] = math.floor(r["s"] / r["n"])
+        centroids = nxt
+
+    return _kmeans_assign(qdf, centroids).select("vec_id", "cluster", "dist")
+
+
+_SQL_KM_DIST = (
+    "list_sum(list_transform(generate_series(1, len({q})),"
+    " i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])))"
+)
+
+SQL_KMEANS_EMBED = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * {KMEANS_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, q AS c
+  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {KMEANS_K})
+),
+a0 AS (
+  SELECT vec_id, q, cluster, dist FROM (
+    SELECT vec_id, q, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT q.vec_id, q.q AS q, c0.cluster,
+                 {_SQL_KM_DIST.format(q="q.q", c="c0.c")} AS dist
+          FROM q CROSS JOIN c0))
+  WHERE rn = 1
+),
+sums AS (
+  SELECT cluster, t.i AS i,
+         CAST(floor(CAST(sum(q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+  FROM a0, unnest(generate_series(1, len(q))) AS t(i)
+  GROUP BY cluster, t.i
+),
+u AS (SELECT cluster, list(m ORDER BY i) AS c FROM sums GROUP BY cluster),
+c1 AS (
+  SELECT c0.cluster, COALESCE(u.c, c0.c) AS c
+  FROM c0 LEFT JOIN u ON c0.cluster = u.cluster
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+  FROM (SELECT q.vec_id, c1.cluster,
+               {_SQL_KM_DIST.format(q="q.q", c="c1.c")} AS dist
+        FROM q CROSS JOIN c1))
+WHERE rn = 1
+"""
