@@ -159,6 +159,12 @@ def _poly_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.cover_tiles(polys, z=COVER_Z)
 
 
+def _tile_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level quadtree compaction of the z=7 polygon tile cover."""
+    polys = corpus.polygons(spark, sf_dir)
+    return tiling.compact_cover(tiling.cover_tiles(polys, z=COVER_Z))
+
+
 def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via k-ring candidate expansion + window re-rank (SURVEY §4.2.4)."""
     docs = corpus.documents(spark, sf_dir)
@@ -609,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
         "poly_tile_cover": _poly_tile_cover,
+        "tile_cover_compact": _tile_cover_compact,
         "knn": _knn,
         "radius_join": _radius_join,
         "convex_hull": _convex_hull,
@@ -863,7 +870,7 @@ _CQK_DIGITS = (
     f"CAST(((x >> ({COVER_Z} - i)) & 1) + 2 * ((y >> ({COVER_Z} - i)) & 1) AS VARCHAR))"
 )
 
-_SQL_POLY_TILE_COVER = f"""
+_SQL_COVER_CTES = f"""
 WITH {_POLYS}, b AS (
   SELECT poly_id,
          CAST(floor((minx + 180.0) / 360.0 * {1 << COVER_Z}) AS BIGINT) AS x0,
@@ -875,10 +882,31 @@ WITH {_POLYS}, b AS (
   SELECT poly_id, unnest(generate_series(x0, x1)) AS x, y0, y1 FROM b
 ), xyy AS (
   SELECT poly_id, x, unnest(generate_series(y0, y1)) AS y FROM xy
+), cov AS (
+  SELECT poly_id, CAST({COVER_Z} AS INTEGER) AS z, x, y,
+         array_to_string({_CQK_DIGITS}, '') AS quadkey
+  FROM xyy
+)"""
+
+_SQL_POLY_TILE_COVER = f"""{_SQL_COVER_CTES}
+SELECT poly_id, z, x, y, quadkey FROM cov
+"""
+
+_SQL_TILE_COVER_COMPACT = f"""{_SQL_COVER_CTES},
+cnt AS (
+  SELECT poly_id, x // 2 AS px, y // 2 AS py, count(*) AS n
+  FROM cov GROUP BY poly_id, px, py
+),
+j AS (
+  SELECT cov.*, cnt.px, cnt.py, cnt.n
+  FROM cov JOIN cnt
+    ON cov.poly_id = cnt.poly_id AND cov.x // 2 = cnt.px AND cov.y // 2 = cnt.py
 )
-SELECT poly_id, CAST({COVER_Z} AS INTEGER) AS z, x, y,
-       array_to_string({_CQK_DIGITS}, '') AS quadkey
-FROM xyy
+SELECT DISTINCT poly_id, CAST({COVER_Z - 1} AS INTEGER) AS z, px AS x, py AS y,
+       substr(quadkey, 1, {COVER_Z - 1}) AS quadkey
+FROM j WHERE n = 4
+UNION ALL
+SELECT poly_id, z, x, y, quadkey FROM j WHERE n < 4
 """
 
 _QK_DIGITS = (
@@ -961,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_assign": _SQL_TILES,
         "poly_tile_cover": _SQL_POLY_TILE_COVER,
+        "tile_cover_compact": _SQL_TILE_COVER_COMPACT,
         "knn": _SQL_KNN,
         "radius_join": _SQL_RADIUS,
         "layer_bbox": f"""

@@ -297,3 +297,40 @@ def hot_cells(points: DataFrame, level: int = 4, top: int = 20) -> DataFrame:
         .orderBy(F.col("n_points").desc(), F.col("cell_id").asc())
         .limit(top)
     )
+
+
+def compact_cover(cover: DataFrame) -> DataFrame:
+    """One-level quadtree compaction of a tile cover (Iceberg-manifest
+    style cell compaction; complements cover_tiles): wherever all four
+    z-level children of a z-1 parent are covered for a polygon, the
+    family is replaced by the single parent tile — the parent quadkey
+    is the child quadkey minus its last digit, so no re-projection
+    happens. Partial families pass through unchanged.
+
+    Plan shape: the family count (groupBy) and the join back both key
+    on (poly_id, px, py), so the join reuses the aggregation's
+    partitioning — ONE shuffle; output is never larger than the input
+    and shrinks 4→1 per full family. Applying the operator
+    repeatedly compacts higher levels (it is idempotent once no full
+    family remains).
+
+    cover(poly_id, z, x, y, quadkey) -> same schema, mixed z/z-1 rows.
+    """
+    wp = cover.withColumn("px", F.shiftright("x", 1)).withColumn(
+        "py", F.shiftright("y", 1)
+    )
+    cnt = wp.groupBy("poly_id", "px", "py").agg(F.count("*").alias("n"))
+    j = wp.join(cnt, ["poly_id", "px", "py"])
+    full = (
+        j.filter("n = 4")
+        .select(
+            "poly_id",
+            (F.col("z") - 1).cast("int").alias("z"),
+            F.col("px").alias("x"),
+            F.col("py").alias("y"),
+            F.expr("substring(quadkey, 1, length(quadkey) - 1)").alias("quadkey"),
+        )
+        .distinct()
+    )
+    partial = j.filter("n < 4").select("poly_id", "z", "x", "y", "quadkey")
+    return full.unionByName(partial)

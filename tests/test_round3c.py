@@ -255,3 +255,43 @@ def test_streaming_pip_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM pip_stream").collect()}
     assert got == expected
+
+
+# --- compact_cover -----------------------------------------------------------
+
+def test_compact_cover_expansion_reproduces_original(spark, sf_dir):
+    """Expanding every compacted z-1 parent back to its 4 children must
+    reproduce the original cover tile set exactly (lossless)."""
+    from geo_import_spark import corpus
+
+    polys = corpus.polygons(spark, sf_dir)
+    cov = tiling.cover_tiles(polys, z=7)
+    cmp_ = tiling.compact_cover(cov)
+    parents = cmp_.filter("z = 6")
+    children_back = parents.selectExpr(
+        "poly_id",
+        "explode(array(struct(x * 2 AS x, y * 2 AS y),"
+        " struct(x * 2 + 1 AS x, y * 2 AS y),"
+        " struct(x * 2 AS x, y * 2 + 1 AS y),"
+        " struct(x * 2 + 1 AS x, y * 2 + 1 AS y))) AS c",
+    ).select("poly_id", "c.x", "c.y")
+    rebuilt = cmp_.filter("z = 7").select("poly_id", "x", "y").unionByName(
+        children_back
+    )
+    orig = cov.select("poly_id", "x", "y")
+    assert rebuilt.count() == orig.count()
+    assert rebuilt.join(orig, ["poly_id", "x", "y"]).count() == orig.count()
+
+
+def test_compact_cover_never_grows_and_shrinks_full_families(spark, sf_dir):
+    from geo_import_spark import corpus
+
+    polys = corpus.polygons(spark, sf_dir)
+    cov = tiling.cover_tiles(polys, z=7)
+    n_cov = cov.count()
+    cmp_ = tiling.compact_cover(cov)
+    n_parents = cmp_.filter("z = 6").count()
+    assert cmp_.count() == n_cov - 3 * n_parents
+    # parent quadkeys are the 6-digit prefixes
+    bad = cmp_.filter("z = 6 AND length(quadkey) != 6").count()
+    assert bad == 0
