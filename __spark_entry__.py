@@ -78,6 +78,15 @@ def _pip_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipmod.pip_join(pts, lpolys).select("doc_id", "poly_id")
 
 
+def _dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer union (dissolve) area: x-slab decomposition +
+    y-interval gaps-and-islands, exact BIGINT on the half-micro
+    lattice (operators/overlay.py dissolve_area)."""
+    from geo_import_spark.operators import overlay as overlaymod
+
+    return overlaymod.dissolve_area(corpus.polygons(spark, sf_dir))
+
+
 def _overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-overlay join: exact intersection areas between the
     rectangle layer (clip windows) and the concave L layer (subjects).
@@ -610,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_concave": _pip_join_concave,
         "geom_stats": _geom_stats,
         "overlay_area": _overlay_area,
+        "dissolve_area": _dissolve_area,
         "grid_density": _grid_density,
         "density_contours": _density_contours,
         "pip_counts": _pip_counts,
@@ -847,6 +857,14 @@ FROM t
 # convention-proof — values sit within 1e-7 of the lattice, never at
 # .5), so cross2 = 2*(w1*h1 + w2*h2) is an exact BIGINT matching the
 # Spark side's integer shoelace over the snapped clipped ring.
+def _sql_dissolve_area() -> str:
+    from geo_import_spark.operators import overlay as overlaymod
+
+    return f"WITH {_POLYS},\n" + overlaymod.SQL_DISSOLVE_AREA_TAIL
+
+
+_SQL_DISSOLVE_AREA = _sql_dissolve_area()
+
 _SQL_OVERLAY = f"""
 WITH {_POLYS}, lpolys AS ({SQL_CONCAVE_POLYGONS}), pairs AS (
   SELECT r.poly_id AS clip_id, l.poly_id AS subject_id,
@@ -981,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_concave": _SQL_PIP_CONCAVE,
         "geom_stats": _SQL_GEOM_STATS,
         "overlay_area": _SQL_OVERLAY,
+        "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,
         "density_contours": _SQL_DENSITY_CONTOURS,
         "pip_counts": f"""

@@ -193,3 +193,154 @@ def overlay_join(clips: DataFrame, subjects: DataFrame,
         .withColumn("area_deg2", F.col("cross2").cast("double") / F.lit(CROSS_TO_DEG2))
         .select("clip_id", "subject_id", "cross2", "area_deg2")
     )
+
+
+# --- dissolve: exact union area per layer ---------------------------------------
+
+_NEG_INF = -(1 << 62)
+
+
+def dissolve_area(polygons: DataFrame) -> DataFrame:
+    """Exact union ("dissolve") area per layer over the axis-aligned
+    layer rectangles: coordinate-compressed x-slab decomposition, then
+    a gaps-and-islands y-interval union per slab — the classic sweep,
+    expressed relationally so every step is exact BIGINT arithmetic on
+    the half-micro lattice (no float summation anywhere).
+
+    Plan shape: slab boundaries derive from the polygon table itself
+    (per-layer cardinality = 2 x polygons-in-layer, dimension-sized),
+    so the rect x slab candidate join is a within-dimension blow-up
+    bounded by |layer|² — the 100-TB side of a PIP workload (the
+    points) never enters this operator. Two window passes share one
+    (layer_id, sx0) sort; final areas are two map-side-combined
+    aggregations.
+
+    polygons(layer_id, minx/miny/maxx/maxy, ...) ->
+    (layer_id, n_polys, sum_area, union_area) with areas in
+    half-micro² BIGINT units; sum_area - union_area = overlap mass.
+    """
+    from pyspark.sql import Window
+
+    s = F.lit(COORD_SCALE)
+    q = polygons.select(
+        "layer_id",
+        F.round(F.col("minx") * s).cast("long").alias("x0"),
+        F.round(F.col("miny") * s).cast("long").alias("y0"),
+        F.round(F.col("maxx") * s).cast("long").alias("x1"),
+        F.round(F.col("maxy") * s).cast("long").alias("y1"),
+    )
+    bounds = (
+        q.select("layer_id", F.col("x0").alias("bx"))
+        .unionByName(q.select("layer_id", F.col("x1").alias("bx")))
+        .distinct()
+    )
+    wb = Window.partitionBy("layer_id").orderBy("bx")
+    slabs = (
+        bounds.select(
+            "layer_id",
+            F.col("bx").alias("sx0"),
+            F.lead("bx").over(wb).alias("sx1"),
+        )
+        .filter(F.col("sx1").isNotNull())
+    )
+    cand = q.join(slabs, "layer_id").filter(
+        (F.col("x0") <= F.col("sx0")) & (F.col("x1") >= F.col("sx1"))
+    )
+    wi = Window.partitionBy("layer_id", "sx0").orderBy("y0", "y1")
+    prev_max = F.max("y1").over(wi.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = cand.select(
+        "layer_id",
+        "sx0",
+        "sx1",
+        "y0",
+        "y1",
+        F.when(F.col("y0") > F.coalesce(prev_max, F.lit(_NEG_INF)), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    island = F.sum("ni").over(wi.rowsBetween(Window.unboundedPreceding, 0))
+    per_island = (
+        flagged.withColumn("island", island)
+        .groupBy("layer_id", "sx0", "sx1", "island")
+        .agg(F.min("y0").alias("iy0"), F.max("y1").alias("iy1"))
+    )
+    union_area = (
+        per_island.groupBy("layer_id", "sx0", "sx1")
+        .agg(F.sum(F.col("iy1") - F.col("iy0")).alias("cov"))
+        .select(
+            "layer_id",
+            ((F.col("sx1") - F.col("sx0")) * F.col("cov")).alias("a"),
+        )
+        .groupBy("layer_id")
+        .agg(F.sum("a").alias("union_area"))
+    )
+    sums = q.groupBy("layer_id").agg(
+        F.count("*").alias("n_polys"),
+        F.sum((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias(
+            "sum_area"
+        ),
+    )
+    return sums.join(union_area, "layer_id").select(
+        "layer_id", "n_polys", "sum_area", "union_area"
+    )
+
+
+# mirror (compose after a `polys` CTE providing layer_id + bounds)
+SQL_DISSOLVE_AREA_TAIL = f"""
+q AS (
+  SELECT layer_id,
+         CAST(round(minx * {COORD_SCALE}) AS BIGINT) AS x0,
+         CAST(round(miny * {COORD_SCALE}) AS BIGINT) AS y0,
+         CAST(round(maxx * {COORD_SCALE}) AS BIGINT) AS x1,
+         CAST(round(maxy * {COORD_SCALE}) AS BIGINT) AS y1
+  FROM polys
+),
+b AS (
+  SELECT DISTINCT layer_id, bx FROM (
+    SELECT layer_id, x0 AS bx FROM q UNION ALL SELECT layer_id, x1 FROM q)
+),
+slabs AS (
+  SELECT * FROM (
+    SELECT layer_id, bx AS sx0,
+           lead(bx) OVER (PARTITION BY layer_id ORDER BY bx) AS sx1
+    FROM b)
+  WHERE sx1 IS NOT NULL
+),
+cand AS (
+  SELECT q.layer_id, slabs.sx0, slabs.sx1, q.y0, q.y1
+  FROM q JOIN slabs ON q.layer_id = slabs.layer_id
+                   AND q.x0 <= slabs.sx0 AND q.x1 >= slabs.sx1
+),
+fl AS (
+  SELECT layer_id, sx0, sx1, y0, y1,
+         CASE WHEN y0 > COALESCE(max(y1) OVER (
+                PARTITION BY layer_id, sx0 ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              {_NEG_INF}) THEN 1 ELSE 0 END AS ni
+  FROM cand
+),
+isl AS (
+  SELECT *, sum(ni) OVER (PARTITION BY layer_id, sx0 ORDER BY y0, y1
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl
+),
+pi AS (
+  SELECT layer_id, sx0, sx1, island, min(y0) AS iy0, max(y1) AS iy1
+  FROM isl GROUP BY layer_id, sx0, sx1, island
+),
+ps AS (
+  SELECT layer_id, sx0, sx1, sum(iy1 - iy0) AS cov
+  FROM pi GROUP BY layer_id, sx0, sx1
+),
+ua AS (
+  SELECT layer_id, CAST(sum((sx1 - sx0) * cov) AS BIGINT) AS union_area
+  FROM ps GROUP BY layer_id
+),
+sa AS (
+  SELECT layer_id, count(*) AS n_polys,
+         CAST(sum((x1 - x0) * (y1 - y0)) AS BIGINT) AS sum_area
+  FROM q GROUP BY layer_id
+)
+SELECT sa.layer_id, sa.n_polys, sa.sum_area, ua.union_area
+FROM sa JOIN ua USING (layer_id)
+"""
