@@ -32,6 +32,7 @@ from geo_import_spark.operators import textops
 from geo_import_spark.operators import tiling
 from geo_import_spark.operators import trainprep
 from geo_import_spark.operators import curation
+from geo_import_spark.operators import relational as relationalmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -554,6 +555,42 @@ def _kmv_distinct(spark, sf_dir):
     return trainprep.kmv_distinct(_docs(spark, sf_dir))
 
 
+# --- relational analytics (TPC-H-shaped) ------------------------------------
+
+
+def _tpch_q1(spark, sf_dir):
+    """Pricing summary (TPC-H Q1 shape): exact BIGINT-cent totals per
+    (returnflag, linestatus); filter pushed to the scan, one map-side-
+    combined shuffle on a 6-value key."""
+    from geo_import_spark.operators import relational
+
+    return relational.pricing_summary(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _tpch_q3(spark, sf_dir):
+    """Shipping priority (TPC-H Q3 shape): top-10 open revenue per
+    order — segment-filtered customer broadcasts into orders, ONE
+    fact-fact shuffle on orderkey, deterministic TakeOrdered."""
+    from geo_import_spark.operators import relational
+
+    return relational.shipping_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def _tpch_q5(spark, sf_dir):
+    """Local supplier volume (TPC-H Q5 shape): revenue per nation in
+    one region where supplier and customer share the nation; all
+    dimensions broadcast, lineitem⋈orders is the only big shuffle."""
+    from geo_import_spark.operators import relational
+
+    return relational.local_supplier_volume(spark, sf_dir)
+
+
 # --- layer-normalization queries (merger/reprojector parity) ---------------
 
 def _layer_merge(spark, sf_dir):
@@ -682,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_moving_agg": _user_moving_agg,
         "cube_counts": _cube_counts,
         "kmv_distinct": _kmv_distinct,
+        "tpch_q1": _tpch_q1,
+        "tpch_q3": _tpch_q3,
+        "tpch_q5": _tpch_q5,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1126,6 +1166,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cube_counts": trainprep.SQL_CUBE_COUNTS,
         "kmv_distinct": trainprep.SQL_KMV_DISTINCT,
+        "tpch_q1": relationalmod.SQL_PRICING_SUMMARY,
+        "tpch_q3": relationalmod.SQL_SHIPPING_PRIORITY,
+        "tpch_q5": relationalmod.SQL_LOCAL_SUPPLIER_VOLUME,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,
