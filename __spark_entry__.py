@@ -379,6 +379,19 @@ def _winnow_fingerprints(spark, sf_dir):
     return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 + cosine top-20 (query vec 0)
+    fused by reciprocal rank (C=60); vec_id aligns 1:1 with doc_id."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return retrieval.rrf_fusion(_docs(spark, sf_dir), emb)
+
+
+def _inverted_postings(spark, sf_dir):
+    """Inverted-index build: per-term df/tf_total + top-3 postings
+    via an exact two-level (salted) top-k."""
+    return retrieval.inverted_postings(_docs(spark, sf_dir))
+
+
 def _bpe_top_merges(spark, sf_dir):
     """Top-20 BPE merge candidates (adjacent char-pair counts)."""
     return trainprep.bpe_top_merges(_docs(spark, sf_dir))
@@ -687,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "bm25_search": _bm25_search,
         "winnow_fingerprints": _winnow_fingerprints,
+        "rrf_fusion": _rrf_fusion,
+        "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
         "split_assign": _split_assign,
         "chunk_documents": _chunk_documents,
@@ -1095,6 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": trainprep.SQL_STRATIFIED_SAMPLE,
         "bm25_search": retrieval.SQL_BM25_SEARCH,
         "winnow_fingerprints": retrieval.SQL_WINNOW_FINGERPRINTS,
+        "rrf_fusion": retrieval.SQL_RRF_FUSION,
+        "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
         "split_assign": curation.SQL_SPLIT_ASSIGN,
         "chunk_documents": curation.SQL_CHUNK_DOCUMENTS,

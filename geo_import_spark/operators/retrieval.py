@@ -229,3 +229,196 @@ w AS (
 SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
 FROM w, unnest(fps) AS r(u)
 """
+
+# --- reciprocal-rank fusion (hybrid lexical + semantic retrieval) ---------------
+
+RRF_C = 60  # the standard RRF constant (Cormack/Clarke/Buettcher, SIGIR'09)
+RRF_QVEC = 0  # query embedding = vec_id 0 (vec_id aligns 1:1 with doc_id)
+RRF_TOPK = 20
+
+
+def rrf_fusion(documents: DataFrame,
+               embeddings: DataFrame,
+               terms: tuple[str, ...] = BM25_QUERY,
+               qvec: int = RRF_QVEC,
+               topk: int = RRF_TOPK) -> DataFrame:
+    """Hybrid retrieval: fuse a lexical (BM25) and a semantic
+    (embedding-cosine) ranking with reciprocal-rank fusion,
+    score = sum over lists of 1/(C + rank), C = 60.
+
+    Scale shape: both input rankings are top-k lists — the corpus
+    work is exactly bm25_search's (zero corpus shuffles) plus one
+    map-side cosine pass against the single broadcast query vector
+    with a TakeOrdered top-k. The fusion itself joins two <= topk-row
+    frames — size-k, never data. Ranks are integers, so the RRF score
+    is a fixed two-term rational expression — engine-exact (IEEE
+    division of exact integers is correctly rounded everywhere).
+
+    Returns (doc_id, lex_rank, sem_rank, rrf, rank); absent-list
+    ranks are 0, rank is dense over the fused union.
+    """
+    lex = bm25_search(documents, terms, topk).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == qvec).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731 - local expression builder
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cand = e.crossJoin(F.broadcast(q)).select(
+        "vec_id", (dot / (nrm("qv") * nrm("v"))).alias("cos")
+    )
+    top = cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(topk)
+    sem = top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_C) + F.col(c)).cast("double"), F.lit(0.0)
+    )
+    scored = fused.select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        F.round(contrib("lex_rank") + contrib("sem_rank"), 9).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _sql_rrf() -> str:
+    dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    dot = "list_sum(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]))"
+    n = lambda c: (  # noqa: E731
+        f"sqrt(list_sum(list_transform(range(1, len({c}) + 1),"
+        f" i -> {c}[i] * {c}[i])))"
+    )
+    contrib = (
+        "COALESCE(CAST(1.0 AS DOUBLE)"
+        f" / CAST({RRF_C} + {{r}} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    )
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({SQL_BM25_SEARCH})
+),
+e AS (SELECT vec_id, {dv} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {RRF_QVEC}),
+cand AS (
+  SELECT vec_id, {dot} / ({n("qv")} * {n("v")}) AS cos
+  FROM e CROSS JOIN q
+),
+sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS sem_rank
+  FROM (SELECT * FROM cand ORDER BY cos DESC, vec_id ASC LIMIT {RRF_TOPK})
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+),
+scored AS (
+  -- contrib binds to the raw nullable columns (qualified), never the
+  -- coalesced lateral aliases: absent-list contribution must be 0
+  SELECT doc_id,
+         COALESCE(fused.lex_rank, 0) AS lex_rank,
+         COALESCE(fused.sem_rank, 0) AS sem_rank,
+         round({contrib.format(r="fused.lex_rank")}
+               + {contrib.format(r="fused.sem_rank")}, 9) AS rrf
+  FROM fused
+)
+SELECT doc_id, lex_rank, sem_rank, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+"""
+
+
+SQL_RRF_FUSION = _sql_rrf()
+
+# --- inverted-index postings -----------------------------------------------------
+
+POSTINGS_CAP = 3  # postings kept per term (top by tf, doc_id tie-break)
+POSTINGS_SALT = 16  # exact two-level top-k fan-out for hot (stopword) terms
+
+
+def inverted_postings(documents: DataFrame,
+                      cap: int = POSTINGS_CAP) -> DataFrame:
+    """Build inverted-index postings: for every term, its document
+    frequency, total term frequency, and the top-`cap` postings by
+    (tf DESC, doc_id ASC).
+
+    Scale shape: (term, doc_id) term frequencies are ONE map-side-
+    combined shuffle. Term-level stats (df, tf_total) are a second
+    map-side-combined aggregate — combiners reduce a stopword's rows
+    to one per partition, so the hot-key skew a naive window would hit
+    never reaches the reducer. The top-cap postings use an EXACT
+    two-level top-k: a first row_number over (term, doc_id % salt)
+    keeps <= cap rows per salt lane (a stopword's window partition
+    shrinks from |docs| to |docs|/salt), then the global row_number
+    per term runs over <= salt*cap rows. Output is vocabulary-sized.
+
+    Returns (term, df, tf_total, doc_id, tf, post_rank), post_rank <= cap.
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_total")
+    )
+    lane = F.pmod(F.col("doc_id"), F.lit(POSTINGS_SALT))
+    w1 = Window.partitionBy("term", "lane").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    local = (
+        tf.withColumn("lane", lane)
+        .withColumn("lr", F.row_number().over(w1))
+        .filter(F.col("lr") <= cap)
+    )
+    w2 = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = (
+        local.withColumn("post_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("post_rank") <= cap)
+        .select("term", "doc_id", "tf", "post_rank")
+    )
+    return top.join(stats, "term").select(
+        "term", "df", "tf_total", "doc_id", "tf", "post_rank"
+    )
+
+
+SQL_INVERTED_POSTINGS = f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+  GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, count(*) AS df, sum(tf) AS tf_total FROM tf GROUP BY term
+),
+top AS (
+  SELECT term, doc_id, tf,
+         CAST(row_number() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, doc_id ASC) AS INT) AS post_rank
+  FROM tf
+)
+SELECT top.term AS term, df, tf_total, doc_id, tf, post_rank
+FROM top JOIN stats ON top.term = stats.term
+WHERE post_rank <= {POSTINGS_CAP}
+"""

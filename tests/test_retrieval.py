@@ -149,3 +149,76 @@ def test_bpe_top_merges_hand_counts(spark):
     assert got["cd"] == (2, 2)
     assert got["ba"] == (1, 3)
     assert len(rows) == 3
+
+
+# --- rrf_fusion ----------------------------------------------------------------
+
+def test_rrf_fusion_scores_and_ranks(spark, sf_dir):
+    """RRF = 1/(60+lex) + 1/(60+sem) with 0 contribution for an absent
+    list; union of both top-20 lists; rank is a dense total order."""
+    docs = _plain_docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = retrieval.rrf_fusion(docs, emb).collect()
+
+    lex = {r["doc_id"]: r["rank"]
+           for r in retrieval.bm25_search(docs).collect()}
+    assert rows, "fusion produced no rows"
+    assert len(rows) <= 2 * retrieval.RRF_TOPK
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        exp = 0.0
+        if r["lex_rank"] > 0:
+            assert lex[r["doc_id"]] == r["lex_rank"]
+            exp += 1.0 / (retrieval.RRF_C + r["lex_rank"])
+        if r["sem_rank"] > 0:
+            exp += 1.0 / (retrieval.RRF_C + r["sem_rank"])
+        assert r["lex_rank"] > 0 or r["sem_rank"] > 0
+        assert r["rrf"] == pytest.approx(round(exp, 9), abs=1e-12)
+    # every lexical hit appears in the fused output
+    assert set(lex) <= {r["doc_id"] for r in rows}
+    # the query vector itself is sem rank 1 (cos = 1 with itself)
+    top_sem = next(r for r in rows if r["sem_rank"] == 1)
+    assert top_sem["doc_id"] == retrieval.RRF_QVEC
+
+
+def test_rrf_dual_list_doc_outranks_single_list_peer(spark, sf_dir):
+    """A doc present in both lists at rank r must outscore a doc present
+    in only one list at the same rank r (monotonicity of fusion)."""
+    docs = _plain_docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = retrieval.rrf_fusion(docs, emb).collect()
+    both = [r for r in rows if r["lex_rank"] > 0 and r["sem_rank"] > 0]
+    single = [r for r in rows if (r["lex_rank"] > 0) != (r["sem_rank"] > 0)]
+    for b in both:
+        for s in single:
+            if max(b["lex_rank"], b["sem_rank"]) <= max(
+                s["lex_rank"], s["sem_rank"]
+            ):
+                assert b["rrf"] > s["rrf"]
+
+
+# --- inverted_postings -----------------------------------------------------------
+
+def test_inverted_postings_matches_bruteforce(spark, sf_dir):
+    """df/tf_total/top-cap postings agree with a pure-Python index;
+    the salted two-level top-k is exact (not approximate)."""
+    docs = _plain_docs(spark, sf_dir)
+    rows = retrieval.inverted_postings(docs).collect()
+
+    index = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        for t in set(toks):
+            index.setdefault(t, {})[r["doc_id"]] = toks.count(t)
+    got_terms = {r["term"] for r in rows}
+    assert got_terms == set(index)
+    for term, posts in index.items():
+        mine = sorted(
+            (r for r in rows if r["term"] == term),
+            key=lambda r: r["post_rank"],
+        )
+        assert all(r["df"] == len(posts) for r in mine)
+        assert all(r["tf_total"] == sum(posts.values()) for r in mine)
+        exp = sorted(posts.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp = exp[: retrieval.POSTINGS_CAP]
+        assert [(r["doc_id"], r["tf"]) for r in mine] == exp
