@@ -450,6 +450,13 @@ def _kmeans_embed(spark, sf_dir):
     return similarity.kmeans_embed(emb)
 
 
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup: cluster-scoped near-dup marking against the per-
+    cluster representative (linear, never pairwise)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semantic_dedup(emb)
+
+
 def _embed_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the LSH bucket join."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -722,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embed_near_dups,
         "kmeans_embed": _kmeans_embed,
+        "semantic_dedup": _semantic_dedup,
         "media_features": _media_features,
         "media_resize": _media_resize,
         "events_window": _events_window,
@@ -1145,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=EMBED_DUP_THRESHOLD
         ),
         "kmeans_embed": similarity.SQL_KMEANS_EMBED,
+        "semantic_dedup": similarity.SQL_SEMANTIC_DEDUP,
         "media_features": multimodal.sql_media_features(
             """
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

@@ -554,9 +554,16 @@ def kmeans_embed(embeddings: DataFrame,
     Returns the final assignment (vec_id, cluster, dist) with dist
     the exact bigint squared distance in micro-units².
     """
+    qdf = _quantized(embeddings)
+    centroids = _kmeans_centroids(qdf, k, iters)
+    return _kmeans_assign(qdf, centroids).select("vec_id", "cluster", "dist")
+
+
+def _kmeans_centroids(qdf: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """The Lloyd centroid loop of kmeans_embed (see its docstring for
+    the shuffle budget); returns the final k x dim integer grid."""
     import math
 
-    qdf = _quantized(embeddings)
     seed_rows = qdf.orderBy("vec_id").limit(k).collect()
     centroids = [list(r["q"]) for r in seed_rows]
 
@@ -573,18 +580,116 @@ def kmeans_embed(embeddings: DataFrame,
             nxt[r["cluster"]][r["pos"]] = math.floor(r["s"] / r["n"])
         centroids = nxt
 
-    return _kmeans_assign(qdf, centroids).select("vec_id", "cluster", "dist")
+    return centroids
 
 
+# --- SemDeDup-style cluster-scoped semantic dedup -------------------------------
+
+SEMDEDUP_TAU = 0.35  # same verified-off-boundary threshold as embedding_near_dups
+
+
+def semantic_dedup(embeddings: DataFrame,
+                   k: int = KMEANS_K,
+                   iters: int = KMEANS_ITERS,
+                   tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster the embeddings (the deterministic quantized Lloyd k-means
+    above), pick one representative per cluster, and mark every other
+    cluster member whose cosine to the representative >= tau as a
+    semantic duplicate. Clustering bounds the comparison set — each
+    vector is compared against exactly ONE representative, never
+    pairwise, so the pass is linear where naive near-dup is quadratic.
+
+    Scale shape: assignment is the map-only literal-centroid argmin
+    (corpus never shuffles); representative selection is ONE
+    map-side-combined min_by per cluster producing k rows (k x dim
+    longs collected — dimension-sized, never data); the dup test is a
+    second map-only pass against the k literal representative vectors.
+    Cosine math: dot and norms are EXACT bigint folds over the
+    micro-unit lattice, divided as doubles and rounded to 6 — the
+    mirror carries the identical expression tree.
+
+    Returns (vec_id, cluster, rep_id, cos, is_dup); is_dup is int 0/1,
+    the representative itself is 0.
+    """
+    import math
+
+    qdf = _quantized(embeddings)
+    centroids = _kmeans_centroids(qdf, k, iters)
+    assigned = _kmeans_assign(qdf, centroids)  # (vec_id, q, cluster, dist)
+
+    rep_rows = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.min_by(
+                F.struct(F.col("vec_id").alias("rep_id"), F.col("q").alias("rq")),
+                F.struct("dist", "vec_id"),
+            ).alias("r")
+        )
+        .collect()
+    )
+    reps = {r["cluster"]: (r["r"]["rep_id"], list(r["r"]["rq"])) for r in rep_rows}
+
+    def _ldot(a_col, lit_vals):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in lit_vals])
+        return F.aggregate(
+            F.zip_with(a_col, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    nq = F.aggregate(
+        F.zip_with("q", "q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rep_id = None
+    cos = None
+    for cl in sorted(reps):
+        rid, rq = reps[cl]
+        nr = float(sum(v * v for v in rq))
+        c_expr = _ldot("q", rq).cast("double") / (
+            F.sqrt(nq.cast("double")) * F.sqrt(F.lit(nr))
+        )
+        cond = F.col("cluster") == cl
+        rep_id = F.when(cond, rid) if rep_id is None else rep_id.when(cond, rid)
+        cos = F.when(cond, c_expr) if cos is None else cos.when(cond, c_expr)
+
+    # cos stays RAW: every input is an exact integer and cast/sqrt/mul/
+    # div are correctly-rounded IEEE, so the double is bit-identical to
+    # the mirror's — while decimal round(6) is NOT engine-portable at
+    # x.xxxxx5 boundaries (Spark BigDecimal HALF_UP vs DuckDB's
+    # float-path rounding disagree on ~1% of dense cosines).
+    out = assigned.select(
+        "vec_id",
+        "cluster",
+        rep_id.cast("bigint").alias("rep_id"),
+        cos.alias("cos"),
+    )
+    return out.withColumn(
+        "is_dup",
+        (
+            (F.col("cos") >= F.lit(tau)) & (F.col("vec_id") != F.col("rep_id"))
+        ).cast("int"),
+    )
+
+
+# CAST AS BIGINT: DuckDB's list_sum(BIGINT) is HUGEINT, which pandas
+# renders as float64 — the cast keeps the mirror's dist dtype int64
+# like Spark's (values fit: <= 64 * (2e6)^2 = 2.6e14)
 _SQL_KM_DIST = (
-    "list_sum(list_transform(generate_series(1, len({q})),"
-    " i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])))"
+    "CAST(list_sum(list_transform(generate_series(1, len({q})),"
+    " i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i]))) AS BIGINT)"
 )
 
 SQL_KMEANS_EMBED = f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(floor(x * {KMEANS_SCALE}) AS BIGINT)) AS q
+         -- CAST to DOUBLE first: DuckDB keeps FLOAT * INT in float32,
+         -- whose floor diverges from Spark's double math by 1 micro-unit
+         -- on ~2% of components
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS q
   FROM embeddings
 ),
 c0 AS (
@@ -618,4 +723,44 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM (
                {_SQL_KM_DIST.format(q="q.q", c="c1.c")} AS dist
         FROM q CROSS JOIN c1))
 WHERE rn = 1
+"""
+
+_SQL_KM_PREFIX = SQL_KMEANS_EMBED[: SQL_KMEANS_EMBED.index("SELECT vec_id, CAST")]
+
+_SQL_IDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i] * {b}[i])) AS DOUBLE)"
+)
+
+SQL_SEMANTIC_DEDUP = f"""
+{_SQL_KM_PREFIX.rstrip().rstrip(")")}),
+a1 AS (
+  SELECT vec_id, q, cluster, dist FROM (
+    SELECT vec_id, q, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT q.vec_id, q.q AS q, c1.cluster,
+                 {_SQL_KM_DIST.format(q="q.q", c="c1.c")} AS dist
+          FROM q CROSS JOIN c1))
+  WHERE rn = 1
+),
+rep AS (
+  SELECT cluster, vec_id AS rep_id, q AS rq FROM (
+    SELECT cluster, vec_id, q,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY dist ASC, vec_id ASC) AS rn
+    FROM a1)
+  WHERE rn = 1
+),
+j AS (
+  SELECT a1.vec_id AS vec_id, CAST(a1.cluster AS INT) AS cluster,
+         rep.rep_id AS rep_id,
+         {_SQL_IDOT.format(a="a1.q", b="rep.rq")}
+           / (sqrt({_SQL_IDOT.format(a="a1.q", b="a1.q")})
+              * sqrt({_SQL_IDOT.format(a="rep.rq", b="rep.rq")})) AS cos
+  FROM a1 JOIN rep ON a1.cluster = rep.cluster
+)
+SELECT vec_id, cluster, rep_id, cos,
+       CAST((cos >= CAST({SEMDEDUP_TAU} AS DOUBLE) AND vec_id <> rep_id) AS INT)
+         AS is_dup
+FROM j
 """

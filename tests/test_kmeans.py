@@ -80,3 +80,51 @@ def test_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = similarity._kmeans_assign(qdf, cents)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --- semantic_dedup (SemDeDup-style) --------------------------------------------
+
+def test_semantic_dedup_matches_numpy_mirror(spark, sf_dir):
+    """Representative = argmin (dist, vec_id) per cluster; cos to the
+    rep matches exact integer math; is_dup = cos >= tau and not rep."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.semantic_dedup(emb).collect()
+    q = {r["vec_id"]: list(r["q"])
+         for r in similarity._quantized(emb).collect()}
+    assign = {r["vec_id"]: (r["cluster"], r["dist"])
+              for r in similarity.kmeans_embed(emb).collect()}
+
+    reps = {}
+    for vid, (cl, dist) in assign.items():
+        if cl not in reps or (dist, vid) < reps[cl][1]:
+            reps[cl] = (vid, (dist, vid))
+    assert len(rows) == len(assign)
+    n_dup = 0
+    for r in rows:
+        cl, _ = assign[r["vec_id"]]
+        assert r["cluster"] == cl
+        rep_id = reps[cl][0]
+        assert r["rep_id"] == rep_id
+        a, b = q[r["vec_id"]], q[rep_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / (math.sqrt(sum(x * x for x in a))
+                     * math.sqrt(sum(x * x for x in b)))
+        assert r["cos"] == cos  # bit-exact: integer inputs, IEEE ops
+        exp_dup = int(cos >= similarity.SEMDEDUP_TAU
+                      and r["vec_id"] != rep_id)
+        assert r["is_dup"] == exp_dup
+        n_dup += exp_dup
+    assert n_dup > 0, "corpus should contain semantic dups at test SF"
+
+
+def test_semantic_dedup_reps_are_never_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = similarity.semantic_dedup(emb)
+    reps = df.filter(F.col("vec_id") == F.col("rep_id"))
+    assert reps.count() == similarity.KMEANS_K
+    assert reps.filter(F.col("is_dup") == 1).count() == 0
+    # rep cos to itself is exactly 1 up to one ulp of the norm product
+    for r in reps.collect():
+        assert abs(r["cos"] - 1.0) < 1e-12
