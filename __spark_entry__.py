@@ -24,6 +24,7 @@ from geo_import_spark import corpus
 from geo_import_spark.corpus import SQL_CONCAVE_POLYGONS, SQL_POINTS, SQL_POLYGONS
 from geo_import_spark.operators import dedup as dedupmod
 from geo_import_spark.operators import knn as knnmod
+from geo_import_spark.operators import linejoin
 from geo_import_spark.operators import multimodal
 from geo_import_spark.operators import pip as pipmod
 from geo_import_spark.operators import similarity
@@ -379,6 +380,15 @@ def _winnow_fingerprints(spark, sf_dir):
     return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _segment_intersect(spark, sf_dir):
+    """Exact line-segment intersection join (layer A <- supplier,
+    layer B <- customer): cell equi-join + bigint CLRS predicate."""
+    return linejoin.segment_intersect_join(
+        corpus.line_segments_a(spark, sf_dir),
+        corpus.line_segments_b(spark, sf_dir),
+    )
+
+
 def _rrf_fusion(spark, sf_dir):
     """Hybrid retrieval: BM25 top-20 + cosine top-20 (query vec 0)
     fused by reciprocal rank (C=60); vec_id aligns 1:1 with doc_id."""
@@ -707,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "bm25_search": _bm25_search,
         "winnow_fingerprints": _winnow_fingerprints,
+        "segment_intersect": _segment_intersect,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1118,6 +1129,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": trainprep.SQL_STRATIFIED_SAMPLE,
         "bm25_search": retrieval.SQL_BM25_SEARCH,
         "winnow_fingerprints": retrieval.SQL_WINNOW_FINGERPRINTS,
+        "segment_intersect": linejoin.sql_segment_intersect(
+            corpus.SQL_SEGMENTS_A, corpus.SQL_SEGMENTS_B
+        ),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,

@@ -298,6 +298,65 @@ SELECT 'lpoly-' || CAST(pk AS VARCHAR) AS poly_id,
 FROM geo
 """
 
+# --- line-segment layers (exact integer micro-degrees) -------------------------
+# Both layers live in one SEG_BOX x SEG_BOX micro-degree window so
+# segment crossings actually occur at test SF; every coordinate is
+# BIGINT arithmetic end-to-end (no doubles anywhere), making the
+# intersection predicate decidable exactly in both engines.
+
+SEG_BOX = 800_000  # 0.8 degrees in micro-degrees (dense enough for
+# crossings at the smallest test SF)
+SEG_DHALF = 49_995  # |dx|,|dy| < 2*SEG_DHALF + 2 << linejoin.SEG_GRID
+
+
+def _segments(base: DataFrame, key, tag: str, s1: int, s2: int, s3: int,
+              s4: int) -> DataFrame:
+    k = key.cast("long")
+    x1 = (k * 2654435761 + s1) % SEG_BOX
+    y1 = (k * 1779033703 + s2) % SEG_BOX
+    # dx odd => never 0 => no degenerate (point) segments
+    dx = ((k * 2246822519 + s3) % (2 * SEG_DHALF + 1) - SEG_DHALF) * 2 + 1
+    dy = ((k * 3266489917 + s4) % (2 * SEG_DHALF + 1) - SEG_DHALF) * 2
+    return base.select(
+        F.concat(F.lit(tag), k.cast("string")).alias("line_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + dx).alias("x2"),
+        (y1 + dy).alias("y2"),
+    )
+
+
+def line_segments_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line layer A <- supplier: (line_id, x1, y1, x2, y2) bigint micro-deg."""
+    sup = spread_scan(spark, spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+    return _segments(sup, F.col("s_suppkey"), "la-", 17, 23, 5, 3)
+
+
+def line_segments_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line layer B <- customer: (line_id, x1, y1, x2, y2) bigint micro-deg."""
+    cust = spread_scan(spark, spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    return _segments(cust, F.col("c_custkey"), "lb-", 41, 53, 11, 13)
+
+
+def _sql_segments(table: str, key: str, tag: str, s1: int, s2: int, s3: int,
+                  s4: int) -> str:
+    m = 2 * SEG_DHALF + 1
+    return f"""
+SELECT '{tag}' || CAST({key} AS VARCHAR) AS line_id,
+       ({key} * 2654435761 + {s1}) % {SEG_BOX} AS x1,
+       ({key} * 1779033703 + {s2}) % {SEG_BOX} AS y1,
+       ({key} * 2654435761 + {s1}) % {SEG_BOX}
+         + (({key} * 2246822519 + {s3}) % {m} - {SEG_DHALF}) * 2 + 1 AS x2,
+       ({key} * 1779033703 + {s2}) % {SEG_BOX}
+         + (({key} * 3266489917 + {s4}) % {m} - {SEG_DHALF}) * 2 AS y2
+FROM {table}
+"""
+
+
+SQL_SEGMENTS_A = _sql_segments("supplier", "s_suppkey", "la-", 17, 23, 5, 3)
+SQL_SEGMENTS_B = _sql_segments("customer", "c_custkey", "lb-", 41, 53, 11, 13)
+
+
 SQL_KNN_QUERIES = """
 SELECT 'q-' || CAST(c_custkey AS VARCHAR) AS query_id,
        ((c_custkey * 2654435761 + 11) % 360000000) / 1000000.0 - 180.0 AS qlon,

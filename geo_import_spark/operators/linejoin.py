@@ -1,0 +1,135 @@
+"""Line-segment intersection join: which segments of layer A intersect
+which segments of layer B (touching counts), decided EXACTLY.
+
+All coordinates are BIGINT micro-degrees, so the classic CLRS
+orientation test runs in exact integer arithmetic: coordinate
+differences fit 2^31, cross-product terms fit ~5.2e17 << 2^63 — no
+doubles, no epsilons, no engine divergence. The predicate text is a
+single template rendered for BOTH the Spark plan (F.expr) and the
+DuckDB oracle, so the two sides cannot drift.
+
+Scale shape (the same candidate-generation pattern as pip_join /
+radius_join, SURVEY §4.2):
+- each segment explodes into the grid cells its bbox touches (the
+  corpus guarantees |dx|,|dy| < SEG_GRID, so that is at most 2x2
+  cells — a map-side explode bounded by 4);
+- candidate pairs come from ONE equi-join on (cx, cy) — never a cross
+  join; the grid bounds candidates by local density;
+- pairs sharing several cells dedup with a distinct on the pair key
+  (functionally determined coords ride along);
+- the exact integer predicate filters candidates JVM-side inside
+  whole-stage codegen.
+SEG_GRID is a power of two so the double-division floor is exact in
+both engines (x <= ~2.1e6 is exactly representable; dividing by 2^17
+only shifts the exponent).
+
+Reference parity: geo-import has no segment-intersection operator —
+this extends the vector-geometry family (overlay_area, dissolve_area,
+nearest_poly) the north rule's spatial-join engine needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEG_GRID = 131072  # 2^17 micro-degrees (~0.13 deg) per cell
+
+
+def _cross(px1, py1, px2, py2, qx, qy) -> str:
+    """Orientation of q relative to the directed segment p1->p2
+    (exact bigint cross product)."""
+    return (
+        f"(({px2}) - ({px1})) * (({qy}) - ({py1}))"
+        f" - (({py2}) - ({py1})) * (({qx}) - ({px1}))"
+    )
+
+
+def _on_seg(px1, py1, px2, py2, qx, qy) -> str:
+    """Given q collinear with p1-p2: is q within the segment's bbox?"""
+    return (
+        f"(least({px1}, {px2}) <= ({qx}) AND ({qx}) <= greatest({px1}, {px2})"
+        f" AND least({py1}, {py2}) <= ({qy}) AND ({qy}) <= greatest({py1}, {py2}))"
+    )
+
+
+def segment_pred(ax1="ax1", ay1="ay1", ax2="ax2", ay2="ay2",
+                 bx1="bx1", by1="by1", bx2="bx2", by2="by2") -> str:
+    """CLRS segments-intersect predicate (inclusive of touching and
+    collinear overlap) as SQL text over the given column names —
+    valid Spark SQL AND DuckDB SQL."""
+    d1 = _cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (
+        f"((({d1}) > 0 AND ({d2}) < 0 OR ({d1}) < 0 AND ({d2}) > 0)"
+        f" AND (({d3}) > 0 AND ({d4}) < 0 OR ({d3}) < 0 AND ({d4}) > 0))"
+    )
+    touch = (
+        f"(({d1}) = 0 AND {_on_seg(bx1, by1, bx2, by2, ax1, ay1)})"
+        f" OR (({d2}) = 0 AND {_on_seg(bx1, by1, bx2, by2, ax2, ay2)})"
+        f" OR (({d3}) = 0 AND {_on_seg(ax1, ay1, ax2, ay2, bx1, by1)})"
+        f" OR (({d4}) = 0 AND {_on_seg(ax1, ay1, ax2, ay2, bx2, by2)})"
+    )
+    return f"({proper} OR {touch})"
+
+
+def _cover(segments: DataFrame, prefix: str, grid: int) -> DataFrame:
+    """Explode a segment frame into (cell, segment) rows — every grid
+    cell the segment's bbox touches (bbox overlap is implied by
+    intersection, so covers of intersecting pairs always share a
+    cell)."""
+    g = float(grid)
+    lo = lambda a, b: F.floor(F.least(a, b) / g).cast("long")  # noqa: E731
+    hi = lambda a, b: F.floor(F.greatest(a, b) / g).cast("long")  # noqa: E731
+    cols = [
+        F.col("line_id").alias(f"{prefix}_id"),
+        F.col("x1").alias(f"{prefix}x1"),
+        F.col("y1").alias(f"{prefix}y1"),
+        F.col("x2").alias(f"{prefix}x2"),
+        F.col("y2").alias(f"{prefix}y2"),
+    ]
+    return segments.select(
+        *cols,
+        F.explode(F.sequence(lo("x1", "x2"), hi("x1", "x2"))).alias("cx"),
+    ).select(
+        *[f"{prefix}_id", f"{prefix}x1", f"{prefix}y1", f"{prefix}x2",
+          f"{prefix}y2", "cx"],
+        F.explode(
+            F.sequence(lo(f"{prefix}y1", f"{prefix}y2"),
+                       hi(f"{prefix}y1", f"{prefix}y2"))
+        ).alias("cy"),
+    )
+
+
+def segment_intersect_join(a: DataFrame, b: DataFrame,
+                           grid: int = SEG_GRID) -> DataFrame:
+    """All (a_id, b_id) pairs whose segments intersect (touch counts).
+
+    Inputs: (line_id, x1, y1, x2, y2) with bigint micro-degree coords.
+    One cell equi-join + one pair distinct; exact integer predicate.
+    """
+    ca = _cover(a, "a", grid)
+    cb = _cover(b, "b", grid)
+    cand = ca.join(cb, ["cx", "cy"]).select(
+        "a_id", "ax1", "ay1", "ax2", "ay2",
+        "b_id", "bx1", "by1", "bx2", "by2",
+    ).distinct()
+    return cand.filter(F.expr(segment_pred())).select("a_id", "b_id")
+
+
+def sql_segment_intersect(sql_a: str, sql_b: str) -> str:
+    """DuckDB oracle: the same exact predicate over a direct join of
+    the two layer CTEs (fine at oracle SF; the Spark plan is the one
+    that must scale)."""
+    pred = segment_pred(
+        ax1="la.x1", ay1="la.y1", ax2="la.x2", ay2="la.y2",
+        bx1="lb.x1", by1="lb.y1", bx2="lb.x2", by2="lb.y2",
+    )
+    return f"""
+WITH la AS ({sql_a}), lb AS ({sql_b})
+SELECT la.line_id AS a_id, lb.line_id AS b_id
+FROM la CROSS JOIN lb
+WHERE {pred}
+"""

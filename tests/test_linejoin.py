@@ -1,0 +1,112 @@
+"""Segment-intersection join: exact predicate semantics (crossing,
+touching, collinear overlap, disjoint), brute-force equivalence, and
+the no-cross-join plan guarantee."""
+
+from pyspark.sql import functions as F
+
+from geo_import_spark import corpus
+from geo_import_spark.operators import linejoin
+
+
+def _seg_df(spark, rows, ids=None):
+    ids = ids or [f"s{i}" for i in range(len(rows))]
+    return spark.createDataFrame(
+        [(i, *map(int, r)) for i, r in zip(ids, rows)],
+        "line_id string, x1 long, y1 long, x2 long, y2 long",
+    )
+
+
+def _pairs(spark, a_rows, b_rows):
+    out = linejoin.segment_intersect_join(
+        _seg_df(spark, a_rows), _seg_df(spark, b_rows, ["t0"])
+    )
+    return {(r["a_id"], r["b_id"]) for r in out.collect()}
+
+
+def test_predicate_cases(spark):
+    b = [(0, 0, 100, 100)]  # the diagonal
+    cases = {
+        "s0": ((0, 100, 100, 0), True),     # proper X crossing
+        "s1": ((50, 50, 200, 50), True),    # endpoint b-interior touch
+        "s2": ((100, 100, 200, 100), True), # endpoint-endpoint touch
+        "s3": ((25, 25, 75, 75), True),     # collinear, contained overlap
+        "s4": ((101, 101, 200, 200), False),# collinear, disjoint
+        "s5": ((0, 1, 100, 101), False),    # parallel offset
+        "s6": ((60, 40, 200, 0), False),    # same quadrant, misses
+    }
+    got = _pairs(spark, [c[0] for c in cases.values()], b)
+    # ids assigned in order s0..s6
+    exp = {(k, "t0") for k, (_, hit) in cases.items() if hit}
+    assert got == exp
+
+
+def test_matches_bruteforce_on_corpus(spark, sf_dir):
+    a = corpus.line_segments_a(spark, sf_dir).collect()
+    b = corpus.line_segments_b(spark, sf_dir).collect()
+
+    def cross(p1, p2, q):
+        return (p2[0] - p1[0]) * (q[1] - p1[1]) - (p2[1] - p1[1]) * (
+            q[0] - p1[0]
+        )
+
+    def onseg(p1, p2, q):
+        return (
+            min(p1[0], p2[0]) <= q[0] <= max(p1[0], p2[0])
+            and min(p1[1], p2[1]) <= q[1] <= max(p1[1], p2[1])
+        )
+
+    def hit(sa, sb):
+        a1, a2 = (sa["x1"], sa["y1"]), (sa["x2"], sa["y2"])
+        b1, b2 = (sb["x1"], sb["y1"]), (sb["x2"], sb["y2"])
+        d1, d2 = cross(b1, b2, a1), cross(b1, b2, a2)
+        d3, d4 = cross(a1, a2, b1), cross(a1, a2, b2)
+        if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0):
+            return True
+        return (
+            (d1 == 0 and onseg(b1, b2, a1))
+            or (d2 == 0 and onseg(b1, b2, a2))
+            or (d3 == 0 and onseg(a1, a2, b1))
+            or (d4 == 0 and onseg(a1, a2, b2))
+        )
+
+    exp = {
+        (sa["line_id"], sb["line_id"]) for sa in a for sb in b if hit(sa, sb)
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in linejoin.segment_intersect_join(
+            corpus.line_segments_a(spark, sf_dir),
+            corpus.line_segments_b(spark, sf_dir),
+        ).collect()
+    }
+    assert got == exp
+    assert got, "corpus should produce intersections at test SF"
+
+
+def test_no_cross_join_in_plan(spark, sf_dir):
+    plan = (
+        linejoin.segment_intersect_join(
+            corpus.line_segments_a(spark, sf_dir),
+            corpus.line_segments_b(spark, sf_dir),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_cover_is_bounded_by_4_cells(spark, sf_dir):
+    """The corpus guarantees |dx|,|dy| < SEG_GRID, so every segment's
+    bbox cover is at most 2x2 cells."""
+    per_seg = (
+        linejoin._cover(corpus.line_segments_b(spark, sf_dir), "b",
+                        linejoin.SEG_GRID)
+        .groupBy("b_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_seg <= 4
