@@ -24,6 +24,7 @@ from geo_import_spark import corpus
 from geo_import_spark.corpus import SQL_CONCAVE_POLYGONS, SQL_POINTS, SQL_POLYGONS
 from geo_import_spark.operators import dedup as dedupmod
 from geo_import_spark.operators import knn as knnmod
+from geo_import_spark.operators import graph as graphmod
 from geo_import_spark.operators import linejoin
 from geo_import_spark.operators import multimodal
 from geo_import_spark.operators import pip as pipmod
@@ -380,6 +381,14 @@ def _winnow_fingerprints(spark, sf_dir):
     return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _pagerank(spark, sf_dir):
+    """3-step exact integer PageRank on the order->customer graph."""
+    return graphmod.pagerank(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def _segment_intersect(spark, sf_dir):
     """Exact line-segment intersection join (layer A <- supplier,
     layer B <- customer): cell equi-join + bigint CLRS predicate."""
@@ -718,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "winnow_fingerprints": _winnow_fingerprints,
         "segment_intersect": _segment_intersect,
+        "pagerank": _pagerank,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1132,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_intersect": linejoin.sql_segment_intersect(
             corpus.SQL_SEGMENTS_A, corpus.SQL_SEGMENTS_B
         ),
+        "pagerank": graphmod.SQL_PAGERANK,
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
