@@ -381,6 +381,11 @@ def _winnow_fingerprints(spark, sf_dir):
     return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy tokens via Misra-Gries prefilter + exact verify."""
+    return textops.heavy_hitters(_docs(spark, sf_dir))
+
+
 def _pagerank(spark, sf_dir):
     """3-step exact integer PageRank on the order->customer graph."""
     return graphmod.pagerank(
@@ -728,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "segment_intersect": _segment_intersect,
         "pagerank": _pagerank,
+        "heavy_hitters": _heavy_hitters,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1143,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
             corpus.SQL_SEGMENTS_A, corpus.SQL_SEGMENTS_B
         ),
         "pagerank": graphmod.SQL_PAGERANK,
+        "heavy_hitters": textops.SQL_HEAVY_HITTERS,
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,

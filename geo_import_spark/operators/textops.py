@@ -379,3 +379,84 @@ SELECT doc_id,
          AS chars_per_token
 FROM documents
 """
+
+
+# --- exact heavy hitters (Misra-Gries prefilter + exact verify) ------------------
+
+HH_PHI = 0.02  # support threshold: emit terms with count > phi * total
+HH_MG_K = 256  # per-partition summary size; k >= 1/phi - 1 => no false
+#                negatives (global count > N/(k+1) always survives)
+
+
+def _mg_candidates(token_df, k: int):
+    """Per-partition batched Misra-Gries: merge each Arrow batch's
+    value_counts into the running summary; when it exceeds k entries,
+    subtract the (k+1)-th largest count from everything and drop the
+    non-positives (each unit of decrement retires k+1 units of stream
+    mass, so the classic undercount bound N_p/(k+1) holds). State is
+    O(k) per partition regardless of stream length — this is the
+    custom-operator case the DataFrame API can't express (SURVEY
+    §2.7); everything around it stays JVM-side."""
+    import pandas as pd
+
+    def gen(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["term"].value_counts(), fill_value=0)
+            if len(counters) > k:
+                m = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > m] - m
+        yield pd.DataFrame({"term": counters.index})
+
+    return token_df.mapInPandas(gen, "term string")
+
+
+def heavy_hitters(documents: DataFrame,
+                  phi: float = HH_PHI,
+                  k: int = HH_MG_K) -> DataFrame:
+    """EXACT heavy hitters: all terms with count > phi * total tokens,
+    with their exact counts — at scale, without shuffling the
+    vocabulary.
+
+    Two passes: (1) per-partition Misra-Gries summaries (bounded
+    state, no shuffle) whose union provably contains every phi-heavy
+    term; (2) the candidate set (<= k x partitions rows — sketch-
+    sized, never data) BROADCASTS back onto the token stream for exact
+    counts via one map-side-combined aggregate over candidate keys
+    only. A naive groupBy would shuffle every distinct term; here the
+    shuffle carries at most |candidates| keys per partition. The final
+    counts are exact, so the output is deterministic no matter how
+    batches hit the sketch.
+
+    Returns (term, cnt, frac), frac = cnt / total as exact int/int
+    double division.
+    """
+    toks = documents.select(
+        F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    cand = _mg_candidates(toks, k).distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    counts = (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt").cast("double") > F.lit(phi) * F.col("n").cast("double"))
+        .select(
+            "term",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("frac"),
+        )
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+tot AS (SELECT count(*) AS n FROM toks),
+c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+SELECT term, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS frac
+FROM c CROSS JOIN tot
+WHERE CAST(cnt AS DOUBLE) > {HH_PHI} * CAST(n AS DOUBLE)
+"""

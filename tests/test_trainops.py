@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from geo_import_spark.operators import dedup, multimodal, similarity
+from geo_import_spark.operators import dedup, multimodal, similarity, textops
 from geo_import_spark.streaming import events as eventsmod
 
 
@@ -142,3 +142,44 @@ def test_sessionize_partitions_events(spark, sf_dir):
             (pd.to_datetime(starts) - pd.to_datetime(ends)).total_seconds()
             > 30 * 60
         ).all() if len(g) > 1 else True
+
+
+# --- heavy_hitters ---------------------------------------------------------------
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, sf_dir):
+    """Output = EXACTLY the phi-heavy terms with exact counts (the MG
+    prefilter may not drop a heavy term or corrupt a count)."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = textops.heavy_hitters(docs).collect()
+
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(t for t in r["text"].lower().split() if t)
+    total = sum(c.values())
+    exp = {t: n for t, n in c.items() if n > textops.HH_PHI * total}
+    assert {r["term"]: r["cnt"] for r in rows} == exp
+    assert exp, "corpus should contain heavy terms at test SF"
+    for r in rows:
+        assert r["frac"] == r["cnt"] / total
+
+
+def test_mg_candidates_superset_under_tiny_summary(spark, sf_dir):
+    """Even with a deliberately tiny sketch (k=8 >= 1/phi - 1 for
+    phi=0.2), every phi-heavy term survives the prefilter."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(textops.tokens_col(F.col("text"))).alias("term")
+    )
+    cand = {
+        r["term"] for r in textops._mg_candidates(toks, 8).distinct().collect()
+    }
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(t for t in r["text"].lower().split() if t)
+    total = sum(c.values())
+    heavy = {t for t, n in c.items() if n > total / 9}  # N/(k+1)
+    assert heavy <= cand
