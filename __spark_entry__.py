@@ -381,6 +381,12 @@ def _winnow_fingerprints(spark, sf_dir):
     return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _curation_verdict(spark, sf_dir):
+    """Composed C4/Gopher-style keep/drop over the dirty corpus
+    (injected dups / short / gibberish / repetitive docs)."""
+    return curation.curation_verdict(corpus.dirty_documents(spark, sf_dir))
+
+
 def _heavy_hitters(spark, sf_dir):
     """Exact phi-heavy tokens via Misra-Gries prefilter + exact verify."""
     return textops.heavy_hitters(_docs(spark, sf_dir))
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersect": _segment_intersect,
         "pagerank": _pagerank,
         "heavy_hitters": _heavy_hitters,
+        "curation_verdict": _curation_verdict,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1150,6 +1157,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": graphmod.SQL_PAGERANK,
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,
+        "curation_verdict": curation.sql_curation_verdict(
+            corpus.SQL_DIRTY_DOCUMENTS
+        ),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,

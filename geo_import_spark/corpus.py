@@ -298,6 +298,56 @@ SELECT 'lpoly-' || CAST(pk AS VARCHAR) AS poly_id,
 FROM geo
 """
 
+# --- dirty text corpus (for the composed curation filter) ----------------------
+# The driver's documents table is all-clean (no exact dups, no quality
+# failures), so the end-to-end curation verdict needs a corpus with
+# injected defects. Each defect class is a deterministic CASE branch
+# on doc_id (priority order matters and is identical in SQL).
+
+DIRTY_DUP_TEXT = "boilerplate navigation footer copyright contact about"
+
+
+def dirty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) with ~14% exact dups (constant boilerplate),
+    ~9% too-short, ~6% gibberish, ~8% repetitive docs injected."""
+    docs = spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    k = F.col("doc_id")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    text = (
+        F.when(k % 7 == 3, F.lit(DIRTY_DUP_TEXT))
+        .when(k % 11 == 0, F.array_join(F.slice(toks, 1, 2), " "))
+        .when(k % 17 == 5, F.concat_ws(
+            " ", *[F.repeat(F.lit("x"), 40) for _ in range(6)],
+            k.cast("string")))
+        .when(k % 13 == 0, F.concat_ws(
+            " ", F.array_join(F.array_repeat(F.lit("badger"), 40), " "),
+            k.cast("string")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+SQL_DIRTY_DOCUMENTS = f"""
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 7 = 3 THEN '{DIRTY_DUP_TEXT}'
+         WHEN doc_id % 11 = 0 THEN array_to_string(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> '')[1:2], ' ')
+         WHEN doc_id % 17 = 5 THEN array_to_string(
+           list_transform(range(6), i -> repeat('x', 40)), ' ')
+           || ' ' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 13 = 0 THEN array_to_string(
+           list_transform(range(40), i -> 'badger'), ' ')
+           || ' ' || CAST(doc_id AS VARCHAR)
+         ELSE text
+       END AS text
+FROM documents
+"""
+
+
 # --- line-segment layers (exact integer micro-degrees) -------------------------
 # Both layers live in one SEG_BOX x SEG_BOX micro-degree window so
 # segment crossings actually occur at test SF; every coordinate is

@@ -43,7 +43,7 @@ SURVEY.md §2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geo_import_spark.operators.textops import (
@@ -354,4 +354,127 @@ snap AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 = 0)
 SELECT f.doc_id, f.fingerprint
 FROM fp f
 WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.fingerprint = f.fingerprint)
+"""
+
+
+# --- composed curation verdict (C4/Gopher-style keep-or-drop) --------------------
+
+REP_MAX = 0.5  # top-bigram fraction above which a doc is "repetitive"
+MIN_TOKENS = 5
+MAX_MEAN_TOKEN_LEN = 12.0
+
+
+def curation_verdict(documents: DataFrame) -> DataFrame:
+    """End-to-end keep/drop decision per document, composing the
+    standard curation rules in a fixed priority order:
+
+        dup         exact duplicate whose doc_id is not the group min
+        too_short   fewer than MIN_TOKENS whitespace tokens
+        gibberish   mean token length > MAX_MEAN_TOKEN_LEN
+        repetitive  top-bigram fraction > REP_MAX (Gopher rule)
+        keep        everything else
+
+    The thresholds and signal math are the quality_score /
+    repetition_stats expressions (textops.py / trainprep.py) fused
+    into ONE pass: every signal is a JVM column expression over the
+    same scan, and the only shuffle is the duplicate-canonicality
+    window on md5(text) (min doc_id per content-hash group). At 100 TB
+    this is the right shape — a pipeline that joined the individual
+    operator outputs would shuffle the corpus on doc_id once per
+    signal instead.
+
+    Returns (doc_id, verdict, keep) with keep as int 0/1.
+    """
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_tok = tok_chars.cast("double") / n_tokens.cast("double")
+    # max bigram multiplicity: one fold over the sorted bigram array
+    # (the repetition_stats pattern — see trainprep.py for why nested
+    # higher-order counting is a measured ~10^3x blowup)
+    bg = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    best = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, b: F.struct(
+            b.alias("prev"),
+            F.when(b == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(b == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+    rep_ratio = F.when(
+        F.size(bg) > 0, best.cast("double") / F.size(bg).cast("double")
+    ).otherwise(F.lit(0.0))
+
+    staged = documents.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_tok"),
+        rep_ratio.alias("rep_ratio"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("fp"))
+    verdict = (
+        F.when(F.col("doc_id") != canon, F.lit("dup"))
+        .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("mean_tok") > MAX_MEAN_TOKEN_LEN, F.lit("gibberish"))
+        .when(F.col("rep_ratio") > REP_MAX, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return staged.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "keep").cast("int").alias("keep"),
+    )
+
+
+def sql_curation_verdict(docs_cte: str) -> str:
+    """DuckDB mirror over any (doc_id, text) CTE body."""
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH docs AS ({docs_cte}),
+t AS (SELECT doc_id, text, {toks} AS toks FROM docs),
+sig AS (
+  SELECT doc_id, md5(text) AS fp, len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mean_tok,
+         CASE WHEN len(toks) >= 2 THEN
+           CAST(list_max(list_transform(
+                  list_distinct(list_transform(range(1, len(toks)),
+                                               i -> toks[i] || ' ' || toks[i+1])),
+                  x -> len(list_filter(
+                         list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]),
+                         e -> e = x)))) AS DOUBLE)
+             / CAST(len(toks) - 1 AS DOUBLE)
+         ELSE 0.0 END AS rep_ratio
+  FROM t
+),
+v AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp) THEN 'dup'
+           WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+           WHEN mean_tok > {MAX_MEAN_TOKEN_LEN} THEN 'gibberish'
+           WHEN rep_ratio > {REP_MAX} THEN 'repetitive'
+           ELSE 'keep'
+         END AS verdict
+  FROM sig
+)
+SELECT doc_id, verdict, CAST(verdict = 'keep' AS INT) AS keep FROM v
 """

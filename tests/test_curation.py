@@ -183,3 +183,61 @@ def test_snapshot_delta_disjoint_snapshot_passes_everything(spark):
     # tiny bitmap => false positives certain; result must still be exact
     got = curation.snapshot_delta(new, snap, m_bits=256, k=2)
     assert got.count() == 300
+
+
+# --- curation_verdict (composed keep/drop) ----------------------------------------
+
+def test_curation_verdict_matches_python_rules(spark, sf_dir):
+    """The fused one-pass verdict equals a rule-by-rule Python rerun
+    (dup > too_short > gibberish > repetitive > keep)."""
+    import hashlib
+    from collections import defaultdict
+
+    from geo_import_spark import corpus as corpusmod
+
+    docs = corpusmod.dirty_documents(spark, sf_dir)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    canon = defaultdict(lambda: 1 << 62)
+    for d, t in rows.items():
+        fp = hashlib.md5(t.encode()).hexdigest()
+        canon[fp] = min(canon[fp], d)
+
+    def verdict(d, t):
+        toks = [x for x in t.lower().split() if x]
+        fp = hashlib.md5(t.encode()).hexdigest()
+        if d != canon[fp]:
+            return "dup"
+        if len(toks) < curation.MIN_TOKENS:
+            return "too_short"
+        if sum(map(len, toks)) / len(toks) > curation.MAX_MEAN_TOKEN_LEN:
+            return "gibberish"
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bgs and max(bgs.count(x) for x in set(bgs)) / len(bgs) > curation.REP_MAX:
+            return "repetitive"
+        return "keep"
+
+    got = {r["doc_id"]: (r["verdict"], r["keep"])
+           for r in curation.curation_verdict(docs).collect()}
+    exp = {d: verdict(d, t) for d, t in rows.items()}
+    assert {d: v for d, (v, _) in got.items()} == exp
+    assert all(k == int(v == "keep") for _, (v, k) in got.items())
+    # every rule fires at test SF (the dirty corpus guarantees a mix)
+    assert set(exp.values()) == {"dup", "too_short", "gibberish",
+                                 "repetitive", "keep"}
+
+
+def test_curation_verdict_single_shuffle(spark, sf_dir):
+    """The fused plan shuffles exactly once (the dup-canonicality
+    window); the signal math never joins operator outputs on doc_id."""
+    from geo_import_spark import corpus as corpusmod
+
+    plan = (
+        curation.curation_verdict(corpusmod.dirty_documents(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one exchange for the window; the corpus spread_scan repartition
+    # of the tiny single-file test input may add one more
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan and "Python" not in plan
