@@ -53,6 +53,16 @@ EMBED_DUP_THRESHOLD = 0.35  # off-boundary at every SF (min |cos-t| over ALL pai
 # Spark-side queries
 # ---------------------------------------------------------------------------
 
+def _sql_geohash_encode() -> str:
+    from geo_import_spark.functions.geohash import sql_geohash
+
+    return (
+        f"SELECT doc_id, {sql_geohash('lon', 'lat')} AS gh9,"
+        f" {sql_geohash('lon', 'lat', 5)} AS gh5"
+        f" FROM ({SQL_POINTS})"
+    )
+
+
 def _parse_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/P3/P4: explode spans -> parse GeoJSON features (pandas UDF) ->
     typed point columns + canonical properties JSON."""
@@ -379,6 +389,19 @@ def _bm25_search(spark, sf_dir):
 def _winnow_fingerprints(spark, sf_dir):
     """SIGMOD'03 winnowing local fingerprints (k=5, w=4)."""
     return retrieval.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _geohash_encode(spark, sf_dir):
+    """Niemeyer geohash (public spec, base32) of every corpus point at
+    precisions 9 and 5 — closed-form JVM bit interleave, no UDF."""
+    from geo_import_spark.functions.geohash import geohash_col
+
+    pts = corpus.points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        geohash_col(F.col("lon"), F.col("lat")).alias("gh9"),
+        geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh5"),
+    )
 
 
 def _curation_verdict(spark, sf_dir):
@@ -741,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _pagerank,
         "heavy_hitters": _heavy_hitters,
         "curation_verdict": _curation_verdict,
+        "geohash_encode": _geohash_encode,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1160,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_verdict": curation.sql_curation_verdict(
             corpus.SQL_DIRTY_DOCUMENTS
         ),
+        "geohash_encode": _sql_geohash_encode(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
