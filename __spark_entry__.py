@@ -432,6 +432,14 @@ def _segment_intersect(spark, sf_dir):
     )
 
 
+def _segment_points(spark, sf_dir):
+    """Intersection POINTS of proper crossings (signed-area ratio)."""
+    return linejoin.segment_intersection_points(
+        corpus.line_segments_a(spark, sf_dir),
+        corpus.line_segments_b(spark, sf_dir),
+    )
+
+
 def _rrf_fusion(spark, sf_dir):
     """Hybrid retrieval: BM25 top-20 + cosine top-20 (query vec 0)
     fused by reciprocal rank (C=60); vec_id aligns 1:1 with doc_id."""
@@ -664,6 +672,15 @@ def _tpch_q5(spark, sf_dir):
     return relational.local_supplier_volume(spark, sf_dir)
 
 
+def _tpch_q17(spark, sf_dir):
+    """Small-quantity revenue (TPC-H Q17 shape): the correlated
+    0.2*avg predicate as an exact bigint inequality."""
+    return relationalmod.small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 # --- layer-normalization queries (merger/reprojector parity) ---------------
 
 def _layer_merge(spark, sf_dir):
@@ -761,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "winnow_fingerprints": _winnow_fingerprints,
         "segment_intersect": _segment_intersect,
+        "segment_points": _segment_points,
         "pagerank": _pagerank,
         "heavy_hitters": _heavy_hitters,
         "curation_verdict": _curation_verdict,
@@ -803,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _tpch_q1,
         "tpch_q3": _tpch_q3,
         "tpch_q5": _tpch_q5,
+        "tpch_q17": _tpch_q17,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1179,6 +1198,9 @@ def oracle_sql() -> dict[str, str]:
         "segment_intersect": linejoin.sql_segment_intersect(
             corpus.SQL_SEGMENTS_A, corpus.SQL_SEGMENTS_B
         ),
+        "segment_points": linejoin.sql_segment_intersection_points(
+            corpus.SQL_SEGMENTS_A, corpus.SQL_SEGMENTS_B
+        ),
         "pagerank": graphmod.SQL_PAGERANK,
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,
         "curation_verdict": curation.sql_curation_verdict(
@@ -1262,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": relationalmod.SQL_PRICING_SUMMARY,
         "tpch_q3": relationalmod.SQL_SHIPPING_PRIORITY,
         "tpch_q5": relationalmod.SQL_LOCAL_SUPPLIER_VOLUME,
+        "tpch_q17": relationalmod.SQL_SMALL_QUANTITY_REVENUE,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,

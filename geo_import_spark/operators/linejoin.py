@@ -119,6 +119,69 @@ def segment_intersect_join(a: DataFrame, b: DataFrame,
     return cand.filter(F.expr(segment_pred())).select("a_id", "b_id")
 
 
+def proper_pred(ax1="ax1", ay1="ay1", ax2="ax2", ay2="ay2",
+                bx1="bx1", by1="by1", bx2="bx2", by2="by2") -> str:
+    """Strictly-proper crossing (both segments straddle the other's
+    line) — the case with a unique interior intersection point."""
+    d1 = _cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+    return (
+        f"((({d1}) > 0 AND ({d2}) < 0 OR ({d1}) < 0 AND ({d2}) > 0)"
+        f" AND (({d3}) > 0 AND ({d4}) < 0 OR ({d3}) < 0 AND ({d4}) > 0))"
+    )
+
+
+def point_exprs(ax1="ax1", ay1="ay1", ax2="ax2", ay2="ay2",
+                bx1="bx1", by1="by1", bx2="bx2", by2="by2") -> tuple[str, str]:
+    """(ix, iy) of a proper crossing: b1 + t*(b2-b1) with
+    t = d3/(d3-d4), the exact signed-area ratio. d3/d4 are exact
+    bigints, so the double expression tree (one division, one
+    multiply-add per axis) is engine-identical — the mirror repeats it
+    verbatim and the values compare bit-exact."""
+    d3 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+    t = f"(CAST(({d3}) AS DOUBLE) / CAST((({d3}) - ({d4})) AS DOUBLE))"
+    ix = f"(CAST({bx1} AS DOUBLE) + {t} * CAST(({bx2}) - ({bx1}) AS DOUBLE))"
+    iy = f"(CAST({by1} AS DOUBLE) + {t} * CAST(({by2}) - ({by1}) AS DOUBLE))"
+    return ix, iy
+
+
+def segment_intersection_points(a: DataFrame, b: DataFrame,
+                                grid: int = SEG_GRID) -> DataFrame:
+    """(a_id, b_id, ix, iy) for every PROPER crossing — the same
+    candidate plan as segment_intersect_join with the point computed
+    from the exact signed-area ratio (micro-degree doubles)."""
+    ca = _cover(a, "a", grid)
+    cb = _cover(b, "b", grid)
+    cand = ca.join(cb, ["cx", "cy"]).select(
+        "a_id", "ax1", "ay1", "ax2", "ay2",
+        "b_id", "bx1", "by1", "bx2", "by2",
+    ).distinct()
+    ix, iy = point_exprs()
+    return cand.filter(F.expr(proper_pred())).select(
+        "a_id", "b_id",
+        F.expr(ix).alias("ix"),
+        F.expr(iy).alias("iy"),
+    )
+
+
+def sql_segment_intersection_points(sql_a: str, sql_b: str) -> str:
+    cols = dict(
+        ax1="la.x1", ay1="la.y1", ax2="la.x2", ay2="la.y2",
+        bx1="lb.x1", by1="lb.y1", bx2="lb.x2", by2="lb.y2",
+    )
+    ix, iy = point_exprs(**cols)
+    return f"""
+WITH la AS ({sql_a}), lb AS ({sql_b})
+SELECT la.line_id AS a_id, lb.line_id AS b_id,
+       {ix} AS ix, {iy} AS iy
+FROM la CROSS JOIN lb
+WHERE {proper_pred(**cols)}
+"""
+
+
 def sql_segment_intersect(sql_a: str, sql_b: str) -> str:
     """DuckDB oracle: the same exact predicate over a direct join of
     the two layer CTEs (fine at oracle SF; the Spark plan is the one

@@ -265,3 +265,70 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate <  TIMESTAMP '{Q5_TO} 00:00:00'
 GROUP BY n_name
 """
+
+
+# --- small-quantity revenue (TPC-H Q17 shape) ----------------------------------
+
+Q17_BRAND = "Brand#4"
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = Q17_BRAND) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by dropping
+    small-quantity orders of one brand — the classic correlated
+    "quantity < 0.2 * per-part average" predicate.
+
+    The average never materializes as a double: qty < 0.2 * sum/cnt
+    is rewritten as the EXACT bigint inequality 5*qty*cnt < sum_qty
+    (cnt > 0; quantities are integer-valued), so the filter is
+    order-independent and hash-identical across engines — no float
+    average, no epsilon.
+
+    Plan: the brand's part keys BROADCAST into lineitem (the fact side
+    never shuffles for the dimension); per-part stats are one
+    map-side-combined aggregate on l_partkey and the stats join back
+    on the SAME key, so Catalyst reuses the exchange — one real fact
+    shuffle total, then a singleton aggregate.
+
+    Returns one row: (sum_price_cents, n_small, avg_yearly_cents).
+    """
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"]
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    small = li.join(stats, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.sum("price_c").alias("sum_price_cents"),
+        F.count("*").alias("n_small"),
+        (F.sum("price_c").cast("double") / F.lit(700.0)).alias(
+            "avg_yearly_cents"
+        ),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = f"""
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         {SQL_CENTS.format(x="l_extendedprice")} AS price_c
+  FROM lineitem JOIN p ON lineitem.l_partkey = p.p_partkey
+),
+st AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_small,
+       CAST(sum(price_c) AS DOUBLE) / CAST(700.0 AS DOUBLE) AS avg_yearly_cents
+FROM li JOIN st USING (l_partkey)
+WHERE qty * 5 * cnt < sum_qty
+"""

@@ -110,3 +110,36 @@ def test_cover_is_bounded_by_4_cells(spark, sf_dir):
         .collect()[0][0]
     )
     assert per_seg <= 4
+
+
+def test_intersection_points_lie_on_both_segments(spark, sf_dir):
+    """Every proper-crossing point satisfies both parametric equations
+    (checked against an independent NumPy solve) and proper pairs are
+    a subset of the inclusive join."""
+    import numpy as np
+
+    a = corpus.line_segments_a(spark, sf_dir)
+    b = corpus.line_segments_b(spark, sf_dir)
+    pts = linejoin.segment_intersection_points(a, b).collect()
+    seg_a = {r["line_id"]: r for r in a.collect()}
+    seg_b = {r["line_id"]: r for r in b.collect()}
+    inclusive = {
+        (r["a_id"], r["b_id"])
+        for r in linejoin.segment_intersect_join(a, b).collect()
+    }
+    assert pts
+    assert {(r["a_id"], r["b_id"]) for r in pts} <= inclusive
+    for r in pts:
+        sa, sb = seg_a[r["a_id"]], seg_b[r["b_id"]]
+        # solve a1 + s*(a2-a1) = b1 + t*(b2-b1)
+        m = np.array(
+            [[sa["x2"] - sa["x1"], -(sb["x2"] - sb["x1"])],
+             [sa["y2"] - sa["y1"], -(sb["y2"] - sb["y1"])]],
+            dtype=float,
+        )
+        rhs = np.array([sb["x1"] - sa["x1"], sb["y1"] - sa["y1"]], dtype=float)
+        s, t = np.linalg.solve(m, rhs)
+        assert 0.0 < s < 1.0 and 0.0 < t < 1.0
+        ex = sa["x1"] + s * (sa["x2"] - sa["x1"])
+        ey = sa["y1"] + s * (sa["y2"] - sa["y1"])
+        assert abs(r["ix"] - ex) < 1e-3 and abs(r["iy"] - ey) < 1e-3

@@ -82,3 +82,34 @@ def test_q5_matches_duckdb_exactly(spark, sf_dir, tables):
         for n, v in con.sql(relational.SQL_LOCAL_SUPPLIER_VOLUME).fetchall()
     )
     assert got == exp
+
+
+def test_q17_exact_predicate_matches_float_semantics(spark, sf_dir):
+    """5*qty*cnt < sum_qty is exactly qty < 0.2 * per-part avg —
+    verified against a float brute force (quantities are integers, so
+    no boundary ambiguity exists)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    row = relational.small_quantity_revenue(li, part).collect()[0]
+
+    keys = {
+        r["p_partkey"]
+        for r in part.filter(F.col("p_brand") == relational.Q17_BRAND)
+        .select("p_partkey").collect()
+    }
+    rows = [
+        (r["l_partkey"], int(r["l_quantity"]),
+         int(r["l_extendedprice"] * 100 + 0.5))
+        for r in li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect() if r["l_partkey"] in keys
+    ]
+    from collections import defaultdict
+    s = defaultdict(int)
+    c = defaultdict(int)
+    for k, q, _ in rows:
+        s[k] += q
+        c[k] += 1
+    small = [(k, q, p) for k, q, p in rows if q < 0.2 * (s[k] / c[k])]
+    assert row["n_small"] == len(small)
+    assert row["sum_price_cents"] == sum(p for _, _, p in small)
+    assert row["n_small"] > 0
