@@ -63,6 +63,12 @@ def _sql_geohash_encode() -> str:
     )
 
 
+def _sql_geohash_rollup() -> str:
+    from geo_import_spark.functions.geohash import sql_geohash_rollup
+
+    return sql_geohash_rollup(SQL_POINTS)
+
+
 def _parse_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/P3/P4: explode spans -> parse GeoJSON features (pandas UDF) ->
     typed point columns + canonical properties JSON."""
@@ -404,6 +410,14 @@ def _geohash_encode(spark, sf_dir):
     )
 
 
+def _geohash_rollup(spark, sf_dir):
+    """Multi-precision geohash cell counts in one pass (spatial twin
+    of rollup_multires)."""
+    from geo_import_spark.functions.geohash import geohash_rollup
+
+    return geohash_rollup(corpus.points(spark, sf_dir))
+
+
 def _curation_verdict(spark, sf_dir):
     """Composed C4/Gopher-style keep/drop over the dirty corpus
     (injected dups / short / gibberish / repetitive docs)."""
@@ -509,6 +523,12 @@ def _kmeans_embed(spark, sf_dir):
     """Deterministic Lloyd k-means (quantized, hash-exact)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.kmeans_embed(emb)
+
+
+def _embedding_outliers(spark, sf_dir):
+    """Top-25 farthest-from-centroid vectors (anomaly screen)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_outliers(emb)
 
 
 def _semantic_dedup(spark, sf_dir):
@@ -783,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _heavy_hitters,
         "curation_verdict": _curation_verdict,
         "geohash_encode": _geohash_encode,
+        "geohash_rollup": _geohash_rollup,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -806,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embed_near_dups,
         "kmeans_embed": _kmeans_embed,
         "semantic_dedup": _semantic_dedup,
+        "embedding_outliers": _embedding_outliers,
         "media_features": _media_features,
         "media_resize": _media_resize,
         "events_window": _events_window,
@@ -1207,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
             corpus.SQL_DIRTY_DOCUMENTS
         ),
         "geohash_encode": _sql_geohash_encode(),
+        "geohash_rollup": _sql_geohash_rollup(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
@@ -1243,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_embed": similarity.SQL_KMEANS_EMBED,
         "semantic_dedup": similarity.SQL_SEMANTIC_DEDUP,
+        "embedding_outliers": similarity.SQL_EMBEDDING_OUTLIERS,
         "media_features": multimodal.sql_media_features(
             """
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

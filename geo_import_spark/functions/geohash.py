@@ -98,3 +98,58 @@ def sql_geohash(lon: str, lat: str,
         for j in range(precision)
     )
     return f"({chars})"
+
+
+# --- multi-resolution geohash rollup --------------------------------------------
+
+ROLLUP_PRECISIONS = (2, 3, 4)
+
+
+def geohash_rollup(points, precisions: tuple[int, ...] = ROLLUP_PRECISIONS):
+    """Point counts per geohash cell at several precisions in ONE
+    pass — the spatial twin of the temporal multi-res rollup
+    (operators/temporal.py rollup_multires).
+
+    Each point encodes ONCE at the finest precision, then explodes
+    into its prefix per requested precision (a geohash prefix IS the
+    coarser cell — the interleave makes precision a prefix property).
+    One map-side-combined shuffle on (precision, cell): every input
+    partition ships at most |occupied cells| rows per level.
+
+    Returns (precision, cell, n_points).
+    """
+    from pyspark.sql import functions as F
+
+    pmax = max(precisions)
+    enc = points.select(
+        geohash_col(F.col("lon"), F.col("lat"), pmax).alias("gh")
+    )
+    levels = F.array(*[
+        F.struct(
+            F.lit(p).alias("precision"),
+            F.substring("gh", 1, p).alias("cell"),
+        )
+        for p in precisions
+    ])
+    return (
+        enc.select(F.explode(levels).alias("l"))
+        .groupBy(F.col("l.precision").alias("precision"),
+                 F.col("l.cell").alias("cell"))
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def sql_geohash_rollup(points_sql: str,
+                       precisions: tuple[int, ...] = ROLLUP_PRECISIONS) -> str:
+    pmax = max(precisions)
+    branches = " UNION ALL ".join(
+        f"SELECT {p} AS precision, substr(gh, 1, {p}) AS cell FROM enc"
+        for p in precisions
+    )
+    return f"""
+WITH pts AS ({points_sql}),
+enc AS (SELECT {sql_geohash('lon', 'lat', pmax)} AS gh FROM pts),
+lv AS ({branches})
+SELECT precision, cell, count(*) AS n_points
+FROM lv GROUP BY precision, cell
+"""

@@ -764,3 +764,40 @@ SELECT vec_id, cluster, rep_id, cos,
          AS is_dup
 FROM j
 """
+
+
+# --- embedding outliers (farthest from own centroid) -----------------------------
+
+OUTLIER_TOPK = 25
+
+
+def embedding_outliers(embeddings: DataFrame,
+                       k: int = KMEANS_K,
+                       iters: int = KMEANS_ITERS,
+                       topk: int = OUTLIER_TOPK) -> DataFrame:
+    """The topk vectors farthest from their own k-means centroid —
+    the cheap distance-based anomaly screen over an embedding corpus
+    (mislabeled / off-distribution documents surface here first).
+
+    Everything reuses the deterministic quantized Lloyd machinery:
+    assignment is map-only against literal centroids, dist is the
+    exact bigint squared distance, and the global top-k is a
+    TakeOrdered (partial per-partition top-k, never a full sort).
+    Ties rank by vec_id so the cut is total.
+
+    Returns (vec_id, cluster, dist, rank), rank <= topk.
+    """
+    qdf = _quantized(embeddings)
+    centroids = _kmeans_centroids(qdf, k, iters)
+    assigned = _kmeans_assign(qdf, centroids).select("vec_id", "cluster", "dist")
+    top = assigned.orderBy(F.desc("dist"), F.asc("vec_id")).limit(topk)
+    w = W.orderBy(F.desc("dist"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH a AS ({SQL_KMEANS_EMBED})
+SELECT vec_id, cluster, dist,
+       CAST(row_number() OVER (ORDER BY dist DESC, vec_id ASC) AS INT) AS rank
+FROM (SELECT * FROM a ORDER BY dist DESC, vec_id ASC LIMIT {OUTLIER_TOPK})
+"""

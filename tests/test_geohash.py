@@ -82,3 +82,25 @@ def test_python_reference_parity(spark, sf_dir):
     ).collect()
     for r in rows:
         assert r["gh"] == py_geohash(r["lon"], r["lat"], 7), (r["lon"], r["lat"])
+
+
+def test_rollup_counts_are_prefix_consistent(spark, sf_dir):
+    """Coarser-level counts equal the sum of their finer children and
+    every level sums to the corpus size."""
+    from collections import defaultdict
+
+    from geo_import_spark import corpus
+    from geo_import_spark.functions.geohash import geohash_rollup
+
+    pts = corpus.points(spark, sf_dir)
+    n = pts.count()
+    rows = geohash_rollup(pts).collect()
+    by_p = defaultdict(dict)
+    for r in rows:
+        by_p[r["precision"]][r["cell"]] = r["n_points"]
+    assert set(by_p) == {2, 3, 4}
+    for p in by_p:
+        assert sum(by_p[p].values()) == n
+    for cell, cnt in by_p[3].items():
+        children = sum(v for c, v in by_p[4].items() if c.startswith(cell))
+        assert children == cnt

@@ -128,3 +128,18 @@ def test_semantic_dedup_reps_are_never_dups(spark, sf_dir):
     # rep cos to itself is exactly 1 up to one ulp of the norm product
     for r in reps.collect():
         assert abs(r["cos"] - 1.0) < 1e-12
+
+
+def test_embedding_outliers_are_global_max_distances(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.embedding_outliers(emb).collect()
+    assigned = similarity.kmeans_embed(emb).collect()
+    exp = sorted(
+        ((r["dist"], r["vec_id"]) for r in assigned),
+        key=lambda t: (-t[0], t[1]),
+    )[: similarity.OUTLIER_TOPK]
+    got = [(r["dist"], r["vec_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == exp
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
