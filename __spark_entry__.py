@@ -63,6 +63,12 @@ def _sql_geohash_encode() -> str:
     )
 
 
+def _sql_trajectory_stats() -> str:
+    from geo_import_spark.operators.trajectory import SQL_TRAJECTORY_STATS
+
+    return SQL_TRAJECTORY_STATS
+
+
 def _sql_geohash_rollup() -> str:
     from geo_import_spark.functions.geohash import sql_geohash_rollup
 
@@ -407,6 +413,16 @@ def _geohash_encode(spark, sf_dir):
         "doc_id",
         geohash_col(F.col("lon"), F.col("lat")).alias("gh9"),
         geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh5"),
+    )
+
+
+def _trajectory_stats(spark, sf_dir):
+    """Per-customer path length / displacement / straightness over the
+    order-key-ordered track (exact integer hop math)."""
+    from geo_import_spark.operators import trajectory
+
+    return trajectory.trajectory_stats(
+        trajectory.order_points_u(spark, sf_dir)
     )
 
 
@@ -804,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": _curation_verdict,
         "geohash_encode": _geohash_encode,
         "geohash_rollup": _geohash_rollup,
+        "trajectory_stats": _trajectory_stats,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1230,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geohash_encode": _sql_geohash_encode(),
         "geohash_rollup": _sql_geohash_rollup(),
+        "trajectory_stats": _sql_trajectory_stats(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
