@@ -470,6 +470,15 @@ def _segment_points(spark, sf_dir):
     )
 
 
+def _clip_segments(spark, sf_dir):
+    """Liang-Barsky clip of layer-A segments to the rectangle layer
+    (broadcast dimension, zero segment-side shuffles)."""
+    return linejoin.clip_segments(
+        corpus.line_segments_a(spark, sf_dir),
+        corpus.polygons(spark, sf_dir),
+    )
+
+
 def _rrf_fusion(spark, sf_dir):
     """Hybrid retrieval: BM25 top-20 + cosine top-20 (query vec 0)
     fused by reciprocal rank (C=60); vec_id aligns 1:1 with doc_id."""
@@ -815,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "segment_intersect": _segment_intersect,
         "segment_points": _segment_points,
+        "clip_segments": _clip_segments,
         "pagerank": _pagerank,
         "heavy_hitters": _heavy_hitters,
         "curation_verdict": _curation_verdict,
@@ -1239,6 +1249,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "segment_points": linejoin.sql_segment_intersection_points(
             corpus.SQL_SEGMENTS_A, corpus.SQL_SEGMENTS_B
+        ),
+        "clip_segments": linejoin.sql_clip_segments(
+            corpus.SQL_SEGMENTS_A, SQL_POLYGONS
         ),
         "pagerank": graphmod.SQL_PAGERANK,
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,

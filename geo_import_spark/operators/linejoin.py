@@ -196,3 +196,93 @@ SELECT la.line_id AS a_id, lb.line_id AS b_id
 FROM la CROSS JOIN lb
 WHERE {pred}
 """
+
+
+# --- Liang-Barsky segment clipping to the rectangle layer -----------------------
+
+_D0 = "CAST(0.0 AS DOUBLE)"
+_D1 = "CAST(1.0 AS DOUBLE)"
+_INF = "CAST(1e308 AS DOUBLE)"
+
+
+def clip_exprs(sx1="sx1", sy1="sy1", sx2="sx2", sy2="sy2",
+               minx="minx", miny="miny", maxx="maxx", maxy="maxy"
+               ) -> tuple[str, str]:
+    """(t0, t1) Liang-Barsky clip parameters of segment s against the
+    axis-aligned window, as SQL text valid in Spark AND DuckDB. The
+    corpus guarantees dx <> 0 (odd micro-degree delta); dy = 0 is
+    handled with an inside/outside +-inf sentinel. Clipped iff
+    t0 <= t1."""
+    dx = f"(({sx2}) - ({sx1}))"
+    dy = f"(({sy2}) - ({sy1}))"
+    tx1 = f"((({minx}) - ({sx1})) / {dx})"
+    tx2 = f"((({maxx}) - ({sx1})) / {dx})"
+    ty1 = f"((({miny}) - ({sy1})) / {dy})"
+    ty2 = f"((({maxy}) - ({sy1})) / {dy})"
+    inside_y = f"(({sy1}) >= ({miny}) AND ({sy1}) <= ({maxy}))"
+    tye = (f"(CASE WHEN {dy} <> 0 THEN least({ty1}, {ty2})"
+           f" ELSE CASE WHEN {inside_y} THEN -{_INF} ELSE {_INF} END END)")
+    tyx = (f"(CASE WHEN {dy} <> 0 THEN greatest({ty1}, {ty2})"
+           f" ELSE CASE WHEN {inside_y} THEN {_INF} ELSE -{_INF} END END)")
+    t0 = f"greatest(least({tx1}, {tx2}), {tye}, {_D0})"
+    t1 = f"least(greatest({tx1}, {tx2}), {tyx}, {_D1})"
+    return t0, t1
+
+
+def clip_segments(segments: DataFrame, polygons: DataFrame) -> DataFrame:
+    """Clip every layer-A segment to every rectangle polygon it
+    crosses (Liang-Barsky): (a_id, poly_id, cx1, cy1, cx2, cy2) in
+    degrees, one row per non-empty clip.
+
+    Plan: the polygon side is dimension-sized and BROADCASTS; the bbox
+    overlap prefilter is fused into the (non-equi) broadcast join so
+    the per-segment work is bounded by overlapping rectangles, and the
+    clip parameters are pure whole-stage-codegen doubles — zero
+    shuffles on the segment side. Every t/endpoint expression tree is
+    shared verbatim with the mirror (clip_exprs), so the emitted
+    coordinates compare bit-exact.
+    """
+    s = segments.select(
+        "line_id",
+        (F.col("x1") / 1000000.0).alias("sx1"),
+        (F.col("y1") / 1000000.0).alias("sy1"),
+        (F.col("x2") / 1000000.0).alias("sx2"),
+        (F.col("y2") / 1000000.0).alias("sy2"),
+    )
+    p = polygons.select("poly_id", "minx", "miny", "maxx", "maxy")
+    overlap = (
+        (F.col("minx") <= F.greatest("sx1", "sx2"))
+        & (F.col("maxx") >= F.least("sx1", "sx2"))
+        & (F.col("miny") <= F.greatest("sy1", "sy2"))
+        & (F.col("maxy") >= F.least("sy1", "sy2"))
+    )
+    t0, t1 = clip_exprs()
+    j = s.join(F.broadcast(p), overlap)
+    return j.filter(F.expr(f"{t0} <= {t1}")).select(
+        F.col("line_id").alias("a_id"),
+        "poly_id",
+        F.expr(f"sx1 + {t0} * (sx2 - sx1)").alias("cx1"),
+        F.expr(f"sy1 + {t0} * (sy2 - sy1)").alias("cy1"),
+        F.expr(f"sx1 + {t1} * (sx2 - sx1)").alias("cx2"),
+        F.expr(f"sy1 + {t1} * (sy2 - sy1)").alias("cy2"),
+    )
+
+
+def sql_clip_segments(sql_segments: str, sql_polygons: str) -> str:
+    t0, t1 = clip_exprs()
+    return f"""
+WITH seg AS ({sql_segments}),
+s AS (
+  SELECT line_id, x1 / 1000000.0 AS sx1, y1 / 1000000.0 AS sy1,
+         x2 / 1000000.0 AS sx2, y2 / 1000000.0 AS sy2
+  FROM seg
+),
+p AS ({sql_polygons})
+SELECT line_id AS a_id, poly_id,
+       sx1 + {t0} * (sx2 - sx1) AS cx1,
+       sy1 + {t0} * (sy2 - sy1) AS cy1,
+       sx1 + {t1} * (sx2 - sx1) AS cx2,
+       sy1 + {t1} * (sy2 - sy1) AS cy2
+FROM s CROSS JOIN p
+WHERE {t0} <= {t1}
+"""

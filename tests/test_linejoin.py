@@ -143,3 +143,52 @@ def test_intersection_points_lie_on_both_segments(spark, sf_dir):
         ex = sa["x1"] + s * (sa["x2"] - sa["x1"])
         ey = sa["y1"] + s * (sa["y2"] - sa["y1"])
         assert abs(r["ix"] - ex) < 1e-3 and abs(r["iy"] - ey) < 1e-3
+
+
+def test_clip_segments_semantics(spark, sf_dir):
+    """Clipped endpoints lie inside the window (up to double eps) and
+    on the parent segment; fully-inside segments pass unchanged; a
+    NumPy Liang-Barsky mirror agrees on the row set."""
+    import numpy as np
+
+    segs = corpus.line_segments_a(spark, sf_dir)
+    polys = corpus.polygons(spark, sf_dir)
+    rows = linejoin.clip_segments(segs, polys).collect()
+    s = {r["line_id"]: r for r in segs.collect()}
+    p = {r["poly_id"]: r for r in polys.collect()}
+    assert rows, "corpus should produce clips at test SF"
+
+    exp_pairs = set()
+    for sid, sr in s.items():
+        x1, y1 = sr["x1"] / 1e6, sr["y1"] / 1e6
+        x2, y2 = sr["x2"] / 1e6, sr["y2"] / 1e6
+        for pid, pr in p.items():
+            dx, dy = x2 - x1, y2 - y1
+            t0, t1 = 0.0, 1.0
+            ok = True
+            for d, lo, hi, c in ((dx, pr["minx"], pr["maxx"], x1),
+                                 (dy, pr["miny"], pr["maxy"], y1)):
+                if d == 0:
+                    if not (lo <= c <= hi):
+                        ok = False
+                        break
+                else:
+                    ta, tb = (lo - c) / d, (hi - c) / d
+                    t0 = max(t0, min(ta, tb))
+                    t1 = min(t1, max(ta, tb))
+            if ok and t0 <= t1:
+                exp_pairs.add((sid, pid))
+    assert {(r["a_id"], r["poly_id"]) for r in rows} == exp_pairs
+
+    eps = 1e-9
+    for r in rows:
+        pr = p[r["poly_id"]]
+        for cx, cy in ((r["cx1"], r["cy1"]), (r["cx2"], r["cy2"])):
+            assert pr["minx"] - eps <= cx <= pr["maxx"] + eps
+            assert pr["miny"] - eps <= cy <= pr["maxy"] + eps
+        sr = s[r["a_id"]]
+        # collinearity with the parent segment (double tolerance)
+        dx, dy = (sr["x2"] - sr["x1"]) / 1e6, (sr["y2"] - sr["y1"]) / 1e6
+        for cx, cy in ((r["cx1"], r["cy1"]), (r["cx2"], r["cy2"])):
+            cross = (cx - sr["x1"] / 1e6) * dy - (cy - sr["y1"] / 1e6) * dx
+            assert abs(cross) < 1e-9
