@@ -470,6 +470,36 @@ def _segment_points(spark, sf_dir):
     )
 
 
+SQL_BOX_POINTS_U = f"""
+SELECT CAST(o_orderkey AS BIGINT) AS pt_id,
+       (o_orderkey * 2654435761 + 7) % {corpus.SEG_BOX} AS x,
+       (o_orderkey * 1779033703 + 99) % {corpus.SEG_BOX} AS y
+FROM orders
+"""
+
+
+def _box_points_u(spark, sf_dir):
+    """Integer micro-degree points inside the segment window (one per
+    order) — the near-join needs density where the segments live."""
+    orders = corpus.spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+    k = F.col("o_orderkey").cast("long")
+    return orders.select(
+        k.alias("pt_id"),
+        ((k * 2654435761 + 7) % corpus.SEG_BOX).alias("x"),
+        ((k * 1779033703 + 99) % corpus.SEG_BOX).alias("y"),
+    )
+
+
+def _near_segments(spark, sf_dir):
+    """Points within 0.02 deg of a layer-A segment: one cell equi-join
+    + exact integer point-segment distance predicate."""
+    return linejoin.near_segment_join(
+        _box_points_u(spark, sf_dir), corpus.line_segments_a(spark, sf_dir)
+    )
+
+
 def _clip_segments(spark, sf_dir):
     """Liang-Barsky clip of layer-A segments to the rectangle layer
     (broadcast dimension, zero segment-side shuffles)."""
@@ -825,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersect": _segment_intersect,
         "segment_points": _segment_points,
         "clip_segments": _clip_segments,
+        "near_segments": _near_segments,
         "pagerank": _pagerank,
         "heavy_hitters": _heavy_hitters,
         "curation_verdict": _curation_verdict,
@@ -1252,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clip_segments": linejoin.sql_clip_segments(
             corpus.SQL_SEGMENTS_A, SQL_POLYGONS
+        ),
+        "near_segments": linejoin.sql_near_segment_join(
+            SQL_BOX_POINTS_U, corpus.SQL_SEGMENTS_A
         ),
         "pagerank": graphmod.SQL_PAGERANK,
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,

@@ -286,3 +286,93 @@ SELECT line_id AS a_id, poly_id,
 FROM s CROSS JOIN p
 WHERE {t0} <= {t1}
 """
+
+
+# --- point-near-segment join (points within R of a polyline segment) -------------
+
+NEAR_RADIUS_U = 20_000  # 0.02 degrees in micro-degrees; < SEG_GRID
+
+
+def _near_pred(wide_sq, px="px", py="py", x1="x1", y1="y1",
+               x2="x2", y2="y2") -> str:
+    """Exact 'point within R of segment' predicate over the named
+    columns with R = NEAR_RADIUS_U micro-degrees.
+
+    Endpoint tests and the projection-interval test fit int64; the
+    perpendicular test compares cross^2 <= R^2 * |d|^2 where cross can
+    reach ~6e10 (cross^2 ~ 3.6e21), so `wide_sq` renders the squaring
+    in a 128-bit-capable type per engine (DECIMAL(38,0) in Spark,
+    HUGEINT in DuckDB) — different spelling, identical integer values,
+    identical boolean."""
+    r2 = NEAR_RADIUS_U * NEAR_RADIUS_U
+    dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
+    ex, ey = f"({px} - {x1})", f"({py} - {y1})"
+    fx, fy = f"({px} - {x2})", f"({py} - {y2})"
+    d2 = f"({dx}*{dx} + {dy}*{dy})"
+    dot = f"({ex}*{dx} + {ey}*{dy})"
+    cross = f"({ex}*{dy} - {ey}*{dx})"
+    e1 = f"({ex}*{ex} + {ey}*{ey} <= {r2})"
+    e2 = f"({fx}*{fx} + {fy}*{fy} <= {r2})"
+    perp = (
+        f"({dot} >= 0 AND {dot} <= {d2}"
+        f" AND {wide_sq.format(x=cross)} <= {r2} * {d2})"
+    )
+    return f"({e1} OR {e2} OR {perp})"
+
+
+_WIDE_SPARK = "CAST({x} AS DECIMAL(38, 0)) * CAST({x} AS DECIMAL(38, 0))"
+_WIDE_DUCK = "CAST({x} AS HUGEINT) * CAST({x} AS HUGEINT)"
+
+NEAR_PRED_SPARK = _near_pred(_WIDE_SPARK)
+
+
+def near_segment_join(points_u: DataFrame, segments: DataFrame,
+                      grid: int = SEG_GRID) -> DataFrame:
+    """(pt_id, line_id) for every point within NEAR_RADIUS_U of a
+    segment — the 'points near roads' join.
+
+    Plan: each point hashes to exactly ONE grid cell (a pure map);
+    each segment's bbox inflates by R and covers a handful of cells
+    (bounded map-side explode, R < grid). The candidate join is ONE
+    cell equi-join, and because the point side contributes a single
+    cell per point, every (point, segment) pair appears at most once —
+    no dedup shuffle. The exact integer distance predicate then
+    filters JVM-side (one DECIMAL-widened square for the perpendicular
+    term; everything else int64).
+
+    points_u: (pt_id, x, y) bigint micro-degrees.
+    """
+    g = float(grid)
+    r = NEAR_RADIUS_U
+    pc = points_u.select(
+        "pt_id",
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.floor(F.col("x") / g).cast("long").alias("cx"),
+        F.floor(F.col("y") / g).cast("long").alias("cy"),
+    )
+    lo = lambda a, b: F.floor((F.least(a, b) - r) / g).cast("long")  # noqa: E731
+    hi = lambda a, b: F.floor((F.greatest(a, b) + r) / g).cast("long")  # noqa: E731
+    sc = segments.select(
+        "line_id", "x1", "y1", "x2", "y2",
+        F.explode(F.sequence(lo("x1", "x2"), hi("x1", "x2"))).alias("cx"),
+    ).select(
+        "line_id", "x1", "y1", "x2", "y2", "cx",
+        F.explode(F.sequence(lo("y1", "y2"), hi("y1", "y2"))).alias("cy"),
+    )
+    cand = pc.join(sc, ["cx", "cy"])
+    return cand.filter(F.expr(NEAR_PRED_SPARK)).select("pt_id", "line_id")
+
+
+def sql_near_segment_join(sql_points_u: str, sql_segments: str) -> str:
+    """Oracle: the exact predicate over a direct join (HUGEINT square)."""
+    pred = _near_pred(
+        _WIDE_DUCK, px="p.x", py="p.y",
+        x1="s.x1", y1="s.y1", x2="s.x2", y2="s.y2",
+    )
+    return f"""
+WITH p AS ({sql_points_u}), s AS ({sql_segments})
+SELECT p.pt_id AS pt_id, s.line_id AS line_id
+FROM p CROSS JOIN s
+WHERE {pred}
+"""

@@ -192,3 +192,52 @@ def test_clip_segments_semantics(spark, sf_dir):
         for cx, cy in ((r["cx1"], r["cy1"]), (r["cx2"], r["cy2"])):
             cross = (cx - sr["x1"] / 1e6) * dy - (cy - sr["y1"] / 1e6) * dx
             assert abs(cross) < 1e-9
+
+
+def test_near_segment_join_matches_bruteforce(spark, sf_dir):
+    """Exact point-segment distance semantics vs a Fraction-exact
+    Python brute force (no floats anywhere)."""
+    from fractions import Fraction
+
+    import __spark_entry__ as em
+
+    pts = em._box_points_u(spark, sf_dir)
+    segs = corpus.line_segments_a(spark, sf_dir)
+    got = {
+        (r["pt_id"], r["line_id"])
+        for r in linejoin.near_segment_join(pts, segs).collect()
+    }
+    r2 = linejoin.NEAR_RADIUS_U ** 2
+
+    def d2_point_seg(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        dot = (px - x1) * dx + (py - y1) * dy
+        dd = dx * dx + dy * dy
+        if dot <= 0:
+            return Fraction((px - x1) ** 2 + (py - y1) ** 2)
+        if dot >= dd:
+            return Fraction((px - x2) ** 2 + (py - y2) ** 2)
+        cross = (px - x1) * dy - (py - y1) * dx
+        return Fraction(cross * cross, dd)
+
+    exp = set()
+    for p in pts.collect():
+        for s in segs.collect():
+            if d2_point_seg(p["x"], p["y"], s["x1"], s["y1"],
+                            s["x2"], s["y2"]) <= r2:
+                exp.add((p["pt_id"], s["line_id"]))
+    assert got == exp
+    assert got, "corpus should produce near-segment hits at test SF"
+
+
+def test_near_segment_join_no_dedup_shuffle_needed(spark, sf_dir):
+    """Each point contributes exactly one cell, so candidate pairs are
+    unique without a distinct — assert no pair appears twice."""
+    import __spark_entry__ as em
+
+    df = linejoin.near_segment_join(
+        em._box_points_u(spark, sf_dir),
+        corpus.line_segments_a(spark, sf_dir),
+    )
+    total = df.count()
+    assert df.distinct().count() == total
