@@ -388,24 +388,31 @@ HH_MG_K = 256  # per-partition summary size; k >= 1/phi - 1 => no false
 #                negatives (global count > N/(k+1) always survives)
 
 
+def mg_merge(counters, batch_terms, k: int):
+    """Batched Misra-Gries step: fold a batch's value_counts into the
+    running summary; when it exceeds k entries, subtract the (k+1)-th
+    largest count from everything and drop the non-positives (each
+    unit of decrement retires k+1 units of stream mass, so the classic
+    undercount bound N/(k+1) holds). Shared by the batch prefilter
+    below and the streaming stateful twin (streaming/heavy.py)."""
+    counters = counters.add(batch_terms.value_counts(), fill_value=0)
+    if len(counters) > k:
+        m = counters.nlargest(k + 1).iloc[-1]
+        counters = counters[counters > m] - m
+    return counters
+
+
 def _mg_candidates(token_df, k: int):
-    """Per-partition batched Misra-Gries: merge each Arrow batch's
-    value_counts into the running summary; when it exceeds k entries,
-    subtract the (k+1)-th largest count from everything and drop the
-    non-positives (each unit of decrement retires k+1 units of stream
-    mass, so the classic undercount bound N_p/(k+1) holds). State is
-    O(k) per partition regardless of stream length — this is the
-    custom-operator case the DataFrame API can't express (SURVEY
-    §2.7); everything around it stays JVM-side."""
+    """Per-partition batched Misra-Gries prefilter: O(k) state per
+    partition regardless of stream length — this is the custom-
+    operator case the DataFrame API can't express (SURVEY §2.7);
+    everything around it stays JVM-side."""
     import pandas as pd
 
     def gen(batches):
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            counters = counters.add(pdf["term"].value_counts(), fill_value=0)
-            if len(counters) > k:
-                m = counters.nlargest(k + 1).iloc[-1]
-                counters = counters[counters > m] - m
+            counters = mg_merge(counters, pdf["term"], k)
         yield pd.DataFrame({"term": counters.index})
 
     return token_df.mapInPandas(gen, "term string")
