@@ -63,6 +63,12 @@ def _sql_geohash_encode() -> str:
     )
 
 
+def _sql_range_fences() -> str:
+    from geo_import_spark.operators.partitioning import sql_range_fences
+
+    return sql_range_fences(SQL_POINTS, "lon", "doc_id")
+
+
 def _sql_trajectory_stats() -> str:
     from geo_import_spark.operators.trajectory import SQL_TRAJECTORY_STATS
 
@@ -423,6 +429,16 @@ def _trajectory_stats(spark, sf_dir):
 
     return trajectory.trajectory_stats(
         trajectory.order_points_u(spark, sf_dir)
+    )
+
+
+def _range_fences(spark, sf_dir):
+    """Deterministic range-partition fences over point longitude
+    (md5-per-mille sample -> exact sample order statistics)."""
+    from geo_import_spark.operators import partitioning
+
+    return partitioning.range_fences(
+        corpus.points(spark, sf_dir), "lon", "doc_id"
     )
 
 
@@ -862,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": _geohash_encode,
         "geohash_rollup": _geohash_rollup,
         "trajectory_stats": _trajectory_stats,
+        "range_fences": _range_fences,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
         "bpe_top_merges": _bpe_top_merges,
@@ -1295,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_encode": _sql_geohash_encode(),
         "geohash_rollup": _sql_geohash_rollup(),
         "trajectory_stats": _sql_trajectory_stats(),
+        "range_fences": _sql_range_fences(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
