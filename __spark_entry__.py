@@ -532,6 +532,11 @@ def _rrf_fusion(spark, sf_dir):
     return retrieval.rrf_fusion(_docs(spark, sf_dir), emb)
 
 
+def _winnow_pairs(spark, sf_dir):
+    """MOSS-style match pairs over shared winnowing fingerprints."""
+    return retrieval.winnow_pairs(_docs(spark, sf_dir))
+
+
 def _inverted_postings(spark, sf_dir):
     """Inverted-index build: per-term df/tf_total + top-3 postings
     via an exact two-level (salted) top-k."""
@@ -881,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_fences": _range_fences,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
+        "winnow_pairs": _winnow_pairs,
         "bpe_top_merges": _bpe_top_merges,
         "split_assign": _split_assign,
         "chunk_documents": _chunk_documents,
@@ -1315,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "range_fences": _sql_range_fences(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,
+        "winnow_pairs": retrieval.SQL_WINNOW_PAIRS,
         "bpe_top_merges": trainprep.SQL_BPE_TOP_MERGES,
         "split_assign": curation.SQL_SPLIT_ASSIGN,
         "chunk_documents": curation.SQL_CHUNK_DOCUMENTS,

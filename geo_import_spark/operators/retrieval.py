@@ -422,3 +422,63 @@ SELECT top.term AS term, df, tf_total, doc_id, tf, post_rank
 FROM top JOIN stats ON top.term = stats.term
 WHERE post_rank <= {POSTINGS_CAP}
 """
+
+# --- winnowing match pairs (MOSS-style) -------------------------------------------
+
+WINNOW_PAIR_MIN_SHARED = 8
+WINNOW_PAIR_MAX_DF_FRAC = 0.05  # fingerprints in > 5% of docs are boilerplate
+
+
+def winnow_pairs(documents: DataFrame,
+                 min_shared: int = WINNOW_PAIR_MIN_SHARED,
+                 max_df_frac: float = WINNOW_PAIR_MAX_DF_FRAC) -> DataFrame:
+    """Document match candidates from shared winnowing fingerprints —
+    the pair stage of a MOSS-style overlap detector on top of
+    winnow_fingerprints.
+
+    Same scale discipline as the n-gram Jaccard join (dedup.py):
+    boilerplate fingerprints (document frequency above max_df_frac of
+    the corpus) are dropped BEFORE the self-join — they contribute
+    quadratic candidate pairs and no discrimination — and candidates
+    come from the fp equi-join, never all-pairs. The winnowing
+    guarantee transfers: any shared substring of length >= k + w - 1
+    whose selected fingerprint survives the df cap yields a shared
+    (fp) hit.
+
+    Returns (doc_a, doc_b, n_shared), n_shared >= min_shared.
+    """
+    fps = winnow_fingerprints(documents).select("doc_id", "fp").distinct()
+    nd = fps.agg(F.count_distinct("doc_id").alias("n"))
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("c") <= F.lit(max_df_frac) * F.col("n"))
+        .select("fp")
+    )
+    uf = fps.join(keep, "fp")
+    a = uf.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = uf.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH fp AS ({SQL_WINNOW_FINGERPRINTS}),
+u AS (SELECT DISTINCT doc_id, fp FROM fp),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM u),
+keep AS (
+  SELECT fp FROM u GROUP BY fp
+  HAVING count(*) <= {WINNOW_PAIR_MAX_DF_FRAC} * (SELECT n FROM nd)
+),
+uf AS (SELECT u.doc_id, u.fp FROM u JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_PAIR_MIN_SHARED}
+"""

@@ -222,3 +222,35 @@ def test_inverted_postings_matches_bruteforce(spark, sf_dir):
         exp = sorted(posts.items(), key=lambda kv: (-kv[1], kv[0]))
         exp = exp[: retrieval.POSTINGS_CAP]
         assert [(r["doc_id"], r["tf"]) for r in mine] == exp
+
+
+# --- winnow_pairs ----------------------------------------------------------------
+
+def test_winnow_pairs_matches_python_mirror(spark, sf_dir):
+    """Pair counts equal a set-intersection rerun over the (df-capped)
+    fingerprint sets; the shared-substring guarantee produces hits."""
+    docs = _plain_docs(spark, sf_dir)
+    fps = {}
+    for r in retrieval.winnow_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    n_docs = len(fps)
+    from collections import Counter
+    df = Counter(f for s in fps.values() for f in s)
+    capped = {
+        d: {f for f in s
+            if df[f] <= retrieval.WINNOW_PAIR_MAX_DF_FRAC * n_docs}
+        for d, s in fps.items()
+    }
+    ids = sorted(capped)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(capped[a] & capped[b])
+            if n >= retrieval.WINNOW_PAIR_MIN_SHARED:
+                exp[(a, b)] = n
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in retrieval.winnow_pairs(docs).collect()
+    }
+    assert got == exp
+    assert got, "corpus should contain overlapping documents at test SF"
