@@ -620,6 +620,22 @@ def _embed_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=EMBED_DUP_THRESHOLD)
 
 
+def _embed_dup_clusters(spark, sf_dir):
+    """Connected components over the embedding near-dup pairs —
+    duplicate_clusters' label propagation composed with the cosine-LSH
+    pair generator (any (doc_a, doc_b) source plugs in)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=EMBED_DUP_THRESHOLD
+    ).select(
+        F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    return dedupmod.duplicate_clusters(docs, pairs=pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep"
+    )
+
+
 def _minhash_sig(spark, sf_dir):
     return dedupmod.minhash_signatures(_docs(spark, sf_dir))
 
@@ -906,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embed_near_dups,
+        "embed_dup_clusters": _embed_dup_clusters,
         "kmeans_embed": _kmeans_embed,
         "semantic_dedup": _semantic_dedup,
         "embedding_outliers": _embedding_outliers,
@@ -1354,6 +1371,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": similarity.SQL_EMBED_NEAR_DUPS.format(
             threshold=EMBED_DUP_THRESHOLD
         ),
+        "embed_dup_clusters": f"""
+WITH RECURSIVE pairs AS ({similarity.SQL_EMBED_NEAR_DUPS.format(
+            threshold=EMBED_DUP_THRESHOLD)}),
+edges AS (
+  SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_id_b AS src, vec_id_a AS dst FROM pairs
+),
+walk(vec_id, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.vec_id
+)
+SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
+""",
         "kmeans_embed": similarity.SQL_KMEANS_EMBED,
         "semantic_dedup": similarity.SQL_SEMANTIC_DEDUP,
         "embedding_outliers": similarity.SQL_EMBEDDING_OUTLIERS,
