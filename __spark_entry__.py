@@ -686,6 +686,12 @@ def _events_window(spark, sf_dir):
     return eventsmod.windowed_counts(ev)
 
 
+def _sessionize_native(spark, sf_dir):
+    """Gap sessions via Spark's native session_window (mergeable agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventsmod.sessionize_native(ev)
+
+
 def _sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return eventsmod.sessionize(ev, gap_minutes=30)
@@ -931,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _events_window,
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
+        "sessionize_native": _sessionize_native,
         "asof_join": _asof_join,
         "range_join_events": _range_join_events,
         "rollup_multires": _rollup_multires,
@@ -1410,6 +1417,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "events_window": eventsmod.SQL_WINDOWED_COUNTS,
         "events_sliding": eventsmod.SQL_SLIDING_COUNTS,
         "sessionize": eventsmod.SQL_SESSIONIZE.format(gap=30 * 60),
+        "sessionize_native": eventsmod.SQL_SESSIONIZE_NATIVE.format(gap=30 * 60),
         "asof_join": temporalmod.SQL_ASOF_JOIN.format(
             left_type=temporalmod.ASOF_LEFT, right_type=temporalmod.ASOF_RIGHT
         ),

@@ -172,3 +172,49 @@ SELECT event_type, make_timestamp(ws) AS win_start, COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users
 FROM w GROUP BY event_type, ws
 """
+
+
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window — the
+    built-in-first twin of sessionize(): one map-side-mergeable
+    session aggregate instead of two windows, and the same expression
+    runs under readStream with a watermark (Spark merges session
+    state per key in the agg, no custom stateful code).
+
+    Boundary semantics equal sessionize(): the native window end is
+    last_ts + gap and an event exactly AT the boundary still merges
+    (end-inclusive — verified by test_native_sessions_boundary_
+    semantics), i.e. a new session starts only when gap > limit.
+
+    Output: (user_id, session_start, session_end, n_events) with
+    session_end = max event ts (not the padded window end).
+    """
+    g = f"{gap_minutes} minutes"
+    return (
+        events.groupBy("user_id", F.session_window("ts", g).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+SQL_SESSIONIZE_NATIVE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {gap}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""

@@ -139,3 +139,46 @@ def test_sliding_counts_starts_are_slide_aligned(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+# --- sessionize_native (built-in session_window twin) ------------------------------
+
+def test_native_sessions_boundary_semantics(spark):
+    """gap == limit: the native window end is INCLUSIVE, so the
+    boundary event merges — identical to the custom > rule."""
+    import datetime as dt
+
+    from geo_import_spark.streaming import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),       # exactly at the gap
+        (1, t0 + dt.timedelta(minutes=45)),
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=29, seconds=59)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    native = ev.sessionize_native(df, gap_minutes=30).collect()
+    custom = ev.sessionize(df, gap_minutes=30).collect()
+    n_native = sorted((r["user_id"], r["n_events"]) for r in native)
+    n_custom = sorted((r["user_id"], r["n_events"]) for r in custom)
+    assert n_native == [(1, 3), (2, 2)]  # boundary event merges
+    assert n_custom == n_native
+
+
+def test_native_sessions_equal_custom_on_corpus(spark, sf_dir):
+    """The built-in session_window aggregate reproduces the two-window
+    custom plan exactly on the event corpus."""
+    from geo_import_spark.streaming import events as ev
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.sessionize_native(raw).collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.sessionize(raw).collect()
+    }
+    assert native == custom
