@@ -601,6 +601,12 @@ def _kmeans_embed(spark, sf_dir):
     return similarity.kmeans_embed(emb)
 
 
+def _embed_standardize(spark, sf_dir):
+    """Per-dimension z-scores on the exact quantized lattice."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embed_standardize(emb)
+
+
 def _embedding_outliers(spark, sf_dir):
     """Top-25 farthest-from-centroid vectors (anomaly screen)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -932,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": _kmeans_embed,
         "semantic_dedup": _semantic_dedup,
         "embedding_outliers": _embedding_outliers,
+        "embed_standardize": _embed_standardize,
         "media_features": _media_features,
         "media_resize": _media_resize,
         "events_window": _events_window,
@@ -1396,6 +1403,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "kmeans_embed": similarity.SQL_KMEANS_EMBED,
         "semantic_dedup": similarity.SQL_SEMANTIC_DEDUP,
         "embedding_outliers": similarity.SQL_EMBEDDING_OUTLIERS,
+        "embed_standardize": similarity.SQL_EMBED_STANDARDIZE,
         "media_features": multimodal.sql_media_features(
             """
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

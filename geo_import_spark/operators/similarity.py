@@ -801,3 +801,83 @@ SELECT vec_id, cluster, dist,
        CAST(row_number() OVER (ORDER BY dist DESC, vec_id ASC) AS INT) AS rank
 FROM (SELECT * FROM a ORDER BY dist DESC, vec_id ASC LIMIT {OUTLIER_TOPK})
 """
+
+
+# --- per-dimension embedding standardization --------------------------------------
+
+def embed_standardize(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling pass upstream ANN/k-means stacks assume.
+
+    Determinism: dimensions are standardized on the quantized integer
+    lattice (micro-units), so the per-dimension sum and sum-of-squares
+    are EXACT bigints (one posexplode + map-side-combined aggregate to
+    dim rows); mean and population variance then divide those exact
+    integers as doubles with mirror-identical trees, and each z-score
+    is (q - mean)/stddev over exact inputs — bit-identical across
+    engines with no float accumulation anywhere.
+
+    Plan: the corpus shuffles ONCE (posexplode to (pos, q) keyed agg,
+    combiners reduce each partition to <= dim rows); the dim-sized
+    stats frame broadcasts back onto the same exploded stream, so
+    normalization is map-side. Output exploded as (vec_id, pos, z) —
+    constant-width rows, no array-of-double hashing ambiguity.
+
+    Overflow headroom: sum(v^2) <= rows * 1e12 fits int64 up to ~9e6
+    rows per dimension; widen the ss accumulator to DECIMAL(38,0)
+    beyond that (the mean/variance trees are unchanged).
+    """
+    q = _quantized(embeddings).select(
+        "vec_id", F.posexplode("q").alias("pos", "v")
+    )
+    stats = q.groupBy("pos").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double") / F.col("n").cast("double")
+        - mean * mean
+    )
+    stats = stats.select(
+        "pos", mean.alias("mean"), F.sqrt(var).alias("sd")
+    )
+    return (
+        q.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            ((F.col("v").cast("double") - F.col("mean")) / F.col("sd"))
+            .alias("z"),
+        )
+    )
+
+
+SQL_EMBED_STANDARDIZE = f"""
+WITH q AS (
+  SELECT vec_id, t.i AS pos, qv[t.i] AS v FROM (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                                    AS BIGINT)) AS qv
+    FROM embeddings
+  ), unnest(generate_series(1, len(qv))) AS t(i)
+),
+st AS (
+  SELECT pos, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss, count(*) AS n
+  FROM q GROUP BY pos
+),
+m AS (
+  SELECT pos,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+  FROM st
+)
+SELECT q.vec_id, CAST(q.pos - 1 AS INT) AS pos,
+       (CAST(q.v AS DOUBLE) - m.mean) / m.sd AS z
+FROM q JOIN m ON q.pos = m.pos
+"""

@@ -143,3 +143,31 @@ def test_embedding_outliers_are_global_max_distances(spark, sf_dir):
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
         range(1, len(rows) + 1)
     )
+
+
+def test_embed_standardize_matches_numpy(spark, sf_dir):
+    """z-scores equal a NumPy population standardization of the
+    quantized lattice; each dimension ends up mean~0, sd~1."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.array(
+        [r["q"] for r in similarity._quantized(emb)
+         .orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    mean = q.mean(axis=0)
+    sd = q.std(axis=0)  # population
+    rows = similarity.embed_standardize(emb).collect()
+    ids = {r["vec_id"]: i for i, r in enumerate(
+        similarity._quantized(emb).orderBy("vec_id").collect())}
+    assert len(rows) == q.shape[0] * q.shape[1]
+    for r in rows[::37]:  # sample the grid
+        i, j = ids[r["vec_id"]], r["pos"]
+        exp = (q[i, j] - mean[j]) / sd[j]
+        assert abs(r["z"] - exp) < 1e-9
+    zs = np.empty_like(q)
+    for r in rows:
+        zs[ids[r["vec_id"]], r["pos"]] = r["z"]
+    assert np.allclose(zs.mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(zs.std(axis=0), 1.0, atol=1e-9)
