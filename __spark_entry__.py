@@ -28,6 +28,7 @@ from geo_import_spark.operators import graph as graphmod
 from geo_import_spark.operators import linejoin
 from geo_import_spark.operators import multimodal
 from geo_import_spark.operators import pip as pipmod
+from geo_import_spark.operators import profile as profilemod
 from geo_import_spark.operators import similarity
 from geo_import_spark.operators import temporal as temporalmod
 from geo_import_spark.operators import textops
@@ -796,6 +797,16 @@ def _tpch_q5(spark, sf_dir):
     return relational.local_supplier_volume(spark, sf_dir)
 
 
+def _profile_table(spark, sf_dir):
+    """Per-column profile of lineitem (nulls, exact distincts,
+    canonical min/max) in one wide aggregate + stack unpivot."""
+    from geo_import_spark.operators import profile
+
+    return profile.profile_table(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
 def _tpch_q17(spark, sf_dir):
     """Small-quantity revenue (TPC-H Q17 shape): the correlated
     0.2*avg predicate as an exact bigint inequality."""
@@ -956,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _tpch_q3,
         "tpch_q5": _tpch_q5,
         "tpch_q17": _tpch_q17,
+        "profile_table": _profile_table,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1447,6 +1459,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "tpch_q3": relationalmod.SQL_SHIPPING_PRIORITY,
         "tpch_q5": relationalmod.SQL_LOCAL_SUPPLIER_VOLUME,
         "tpch_q17": relationalmod.SQL_SMALL_QUANTITY_REVENUE,
+        "profile_table": profilemod.SQL_PROFILE_TABLE,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,
