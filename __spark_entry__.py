@@ -76,6 +76,23 @@ def _sql_trajectory_stats() -> str:
     return SQL_TRAJECTORY_STATS
 
 
+def _sql_frame_diff() -> str:
+    from geo_import_spark.operators.reconcile import sql_frame_diff
+
+    return sql_frame_diff(
+        "SELECT doc_id, text FROM documents",
+        corpus.SQL_DIRTY_DOCUMENTS,
+        key="doc_id",
+        content="text",
+    )
+
+
+def _sql_table_checksum() -> str:
+    from geo_import_spark.operators.reconcile import sql_table_checksum
+
+    return sql_table_checksum("SELECT doc_id, text FROM documents", "text")
+
+
 def _sql_geohash_rollup() -> str:
     from geo_import_spark.functions.geohash import sql_geohash_rollup
 
@@ -455,6 +472,26 @@ def _curation_verdict(spark, sf_dir):
     """Composed C4/Gopher-style keep/drop over the dirty corpus
     (injected dups / short / gibberish / repetitive docs)."""
     return curation.curation_verdict(corpus.dirty_documents(spark, sf_dir))
+
+
+def _frame_diff(spark, sf_dir):
+    """Data-diff: documents vs the dirty variant, keyed by doc_id —
+    same/changed classification from one full-outer hash join."""
+    from geo_import_spark.operators import reconcile
+
+    return reconcile.frame_diff(
+        _docs(spark, sf_dir),
+        corpus.dirty_documents(spark, sf_dir),
+        key="doc_id",
+        content="text",
+    )
+
+
+def _table_checksum(spark, sf_dir):
+    """Order-free mergeable content checksum of the documents table."""
+    from geo_import_spark.operators import reconcile
+
+    return reconcile.table_checksum(_docs(spark, sf_dir), content="text")
 
 
 def _heavy_hitters(spark, sf_dir):
@@ -918,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_segments": _near_segments,
         "pagerank": _pagerank,
         "heavy_hitters": _heavy_hitters,
+        "frame_diff": _frame_diff,
+        "table_checksum": _table_checksum,
         "curation_verdict": _curation_verdict,
         "geohash_encode": _geohash_encode,
         "geohash_rollup": _geohash_rollup,
@@ -1355,6 +1394,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": graphmod.SQL_PAGERANK,
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,
+        "frame_diff": _sql_frame_diff(),
+        "table_checksum": _sql_table_checksum(),
         "curation_verdict": curation.sql_curation_verdict(
             corpus.SQL_DIRTY_DOCUMENTS
         ),
