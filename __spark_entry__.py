@@ -834,6 +834,15 @@ def _tpch_q5(spark, sf_dir):
     return relational.local_supplier_volume(spark, sf_dir)
 
 
+def _tpch_q13(spark, sf_dir):
+    """Customer order-count histogram (TPC-H Q13 shape): outer join +
+    double aggregation, zero-order customers kept."""
+    return relationalmod.customer_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def _profile_table(spark, sf_dir):
     """Per-column profile of lineitem (nulls, exact distincts,
     canonical min/max) in one wide aggregate + stack unpivot."""
@@ -1007,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _tpch_q5,
         "tpch_q17": _tpch_q17,
         "profile_table": _profile_table,
+        "tpch_q13": _tpch_q13,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1501,6 +1511,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "tpch_q5": relationalmod.SQL_LOCAL_SUPPLIER_VOLUME,
         "tpch_q17": relationalmod.SQL_SMALL_QUANTITY_REVENUE,
         "profile_table": profilemod.SQL_PROFILE_TABLE,
+        "tpch_q13": relationalmod.SQL_CUSTOMER_DISTRIBUTION,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,

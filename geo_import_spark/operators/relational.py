@@ -332,3 +332,47 @@ SELECT CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
 FROM li JOIN st USING (l_partkey)
 WHERE qty * 5 * cnt < sum_qty
 """
+
+
+# --- customer order-count distribution (TPC-H Q13 shape) -------------------------
+
+Q13_EXCLUDE = "2-HIGH"  # order priority class excluded from the count
+
+
+def customer_distribution(customer: DataFrame,
+                          orders: DataFrame,
+                          exclude: str = Q13_EXCLUDE) -> DataFrame:
+    """TPC-H Q13 shape: the histogram of customers by how many
+    qualifying orders they placed — the canonical OUTER-join +
+    double-aggregation pattern (customers with zero orders must
+    appear in the 0 bucket, which an inner join silently drops).
+
+    Plan: the filtered orders aggregate to (custkey, cnt) FIRST
+    (map-side combined), so the left join carries one row per
+    customer with orders — never the raw fact table; the second
+    aggregate is histogram-sized. All counts are exact integers.
+
+    Returns (c_count, custdist) ordered-free.
+    """
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != exclude)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    joined = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+    return joined.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_CUSTOMER_DISTRIBUTION = f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS cnt
+  FROM orders WHERE o_orderpriority <> '{Q13_EXCLUDE}'
+  GROUP BY o_custkey
+)
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT COALESCE(per_cust.cnt, 0) AS c_count
+  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+) GROUP BY c_count
+"""

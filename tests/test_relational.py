@@ -113,3 +113,16 @@ def test_q17_exact_predicate_matches_float_semantics(spark, sf_dir):
     assert row["n_small"] == len(small)
     assert row["sum_price_cents"] == sum(p for _, _, p in small)
     assert row["n_small"] > 0
+
+
+def test_q13_keeps_zero_order_customers(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = relational.customer_distribution(cust, orders).collect()
+    hist = {r["c_count"]: r["custdist"] for r in rows}
+    assert sum(hist.values()) == cust.count()
+    active = (
+        orders.filter(F.col("o_orderpriority") != relational.Q13_EXCLUDE)
+        .select("o_custkey").distinct().count()
+    )
+    assert hist.get(0, 0) == cust.count() - active
