@@ -36,6 +36,7 @@ from geo_import_spark.operators import tiling
 from geo_import_spark.operators import trainprep
 from geo_import_spark.operators import curation
 from geo_import_spark.operators import relational as relationalmod
+from geo_import_spark.operators import relational_ext as relextmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -862,6 +863,142 @@ def _tpch_q17(spark, sf_dir):
     )
 
 
+def _rel_tables(spark, sf_dir, *names):
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def _tpch_q2(spark, sf_dir):
+    """Min-cost supplier per part (TPC-H Q2 shape, partsupp-free):
+    per-part min price + tie-broken winning supplier, top-k by
+    supplier balance."""
+    t = _rel_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    return relextmod.min_cost_supplier(t["lineitem"], t["part"], t["supplier"])
+
+
+def _tpch_q4(spark, sf_dir):
+    """Late-order priority counts (TPC-H Q4 shape): LEFT SEMI
+    existence of a >60-day-late line item per quarter order."""
+    t = _rel_tables(spark, sf_dir, "orders", "lineitem")
+    return relextmod.late_order_priority(t["orders"], t["lineitem"])
+
+
+def _tpch_q6(spark, sf_dir):
+    """Forecast revenue (TPC-H Q6): scan→filter→1-row aggregate with
+    exact percent-point discount banding."""
+    return relextmod.forecast_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _tpch_q7(spark, sf_dir):
+    """Volume shipping (TPC-H Q7): bilateral nation-pair revenue per
+    ship year; both nation maps broadcast."""
+    return relextmod.volume_shipping(
+        _rel_tables(spark, sf_dir, "nation", "supplier", "customer",
+                    "orders", "lineitem")
+    )
+
+
+def _tpch_q8(spark, sf_dir):
+    """National market share (TPC-H Q8): exact BIGINT numerator and
+    denominator, one double division at the end."""
+    return relextmod.market_share(
+        _rel_tables(spark, sf_dir, "region", "nation", "supplier",
+                    "customer", "orders", "lineitem", "part")
+    )
+
+
+def _tpch_q9(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape): rev minus modeled cost
+    per (supplier nation, order year), exact signed BIGINT c4."""
+    return relextmod.product_type_profit(
+        _rel_tables(spark, sf_dir, "nation", "supplier", "orders",
+                    "lineitem", "part")
+    )
+
+
+def _tpch_q10(spark, sf_dir):
+    """Returned-item customers (TPC-H Q10): top-k customers by
+    returned revenue; aggregate on custkey BEFORE the dim join."""
+    return relextmod.returned_item_customers(
+        _rel_tables(spark, sf_dir, "nation", "customer", "orders", "lineitem")
+    )
+
+
+def _tpch_q11(spark, sf_dir):
+    """Important part value (TPC-H Q11 shape): HAVING sum > total/1000
+    as an exact bigint inequality over a broadcast 1-row total."""
+    return relextmod.important_part_value(
+        _rel_tables(spark, sf_dir, "region", "nation", "supplier", "lineitem")
+    )
+
+
+def _tpch_q12(spark, sf_dir):
+    """Late shipping vs priority (TPC-H Q12 shape): CASE-count split
+    of critical vs other priorities for late line items."""
+    t = _rel_tables(spark, sf_dir, "orders", "lineitem")
+    return relextmod.late_shipping_priority(t["orders"], t["lineitem"])
+
+
+def _tpch_q14(spark, sf_dir):
+    """Promotion effect (TPC-H Q14): PROMO share of one ship-month's
+    revenue, exact ints + one final division."""
+    t = _rel_tables(spark, sf_dir, "lineitem", "part")
+    return relextmod.promo_revenue_effect(t["lineitem"], t["part"])
+
+
+def _tpch_q15(spark, sf_dir):
+    """Top supplier (TPC-H Q15): suppliers whose quarter revenue
+    equals the scalar max (ties kept)."""
+    t = _rel_tables(spark, sf_dir, "lineitem", "supplier")
+    return relextmod.top_supplier(t["lineitem"], t["supplier"])
+
+
+def _tpch_q16(spark, sf_dir):
+    """Supplier counts per part group (TPC-H Q16 shape): distinct
+    shipping suppliers per (brand, type, size) whitelist."""
+    t = _rel_tables(spark, sf_dir, "lineitem", "part")
+    return relextmod.supplier_part_counts(t["lineitem"], t["part"])
+
+
+def _tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18): qty-sum HAVING before any
+    join, then key-only joins back."""
+    return relextmod.large_volume_customers(
+        _rel_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    )
+
+
+def _tpch_q19(spark, sf_dir):
+    """Discounted revenue (TPC-H Q19): OR-of-conjunctions kept as one
+    equi-join + post-join filter."""
+    t = _rel_tables(spark, sf_dir, "lineitem", "part")
+    return relextmod.discounted_revenue(t["lineitem"], t["part"])
+
+
+def _tpch_q20(spark, sf_dir):
+    """Dominant type suppliers (TPC-H Q20 shape): 2×supp_qty >
+    part_total exact inequality with exchange-reused aggregates."""
+    return relextmod.dominant_type_suppliers(
+        _rel_tables(spark, sf_dir, "supplier", "lineitem", "part")
+    )
+
+
+def _tpch_q21(spark, sf_dir):
+    """Sole late supplier (TPC-H Q21 shape): exists/not-exists pair
+    collapsed into one grouped pass, no lineitem self-join."""
+    t = _rel_tables(spark, sf_dir, "orders", "lineitem", "supplier")
+    return relextmod.sole_late_suppliers(t["orders"], t["lineitem"],
+                                         t["supplier"])
+
+
+def _tpch_q22(spark, sf_dir):
+    """Dormant rich customers (TPC-H Q22 shape): above-average balance
+    via exact bigint inequality + LEFT ANTI recent-orders join."""
+    t = _rel_tables(spark, sf_dir, "customer", "orders")
+    return relextmod.dormant_rich_customers(t["customer"], t["orders"])
+
+
 # --- layer-normalization queries (merger/reprojector parity) ---------------
 
 def _layer_merge(spark, sf_dir):
@@ -1017,6 +1154,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _tpch_q17,
         "profile_table": _profile_table,
         "tpch_q13": _tpch_q13,
+        "tpch_q2": _tpch_q2,
+        "tpch_q4": _tpch_q4,
+        "tpch_q6": _tpch_q6,
+        "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
+        "tpch_q10": _tpch_q10,
+        "tpch_q11": _tpch_q11,
+        "tpch_q12": _tpch_q12,
+        "tpch_q14": _tpch_q14,
+        "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
+        "tpch_q18": _tpch_q18,
+        "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1512,6 +1666,23 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "tpch_q17": relationalmod.SQL_SMALL_QUANTITY_REVENUE,
         "profile_table": profilemod.SQL_PROFILE_TABLE,
         "tpch_q13": relationalmod.SQL_CUSTOMER_DISTRIBUTION,
+        "tpch_q2": relextmod.SQL_MIN_COST_SUPPLIER,
+        "tpch_q4": relextmod.SQL_LATE_ORDER_PRIORITY,
+        "tpch_q6": relextmod.SQL_FORECAST_REVENUE,
+        "tpch_q7": relextmod.SQL_VOLUME_SHIPPING,
+        "tpch_q8": relextmod.SQL_MARKET_SHARE,
+        "tpch_q9": relextmod.SQL_PRODUCT_TYPE_PROFIT,
+        "tpch_q10": relextmod.SQL_RETURNED_ITEM_CUSTOMERS,
+        "tpch_q11": relextmod.SQL_IMPORTANT_PART_VALUE,
+        "tpch_q12": relextmod.SQL_LATE_SHIPPING_PRIORITY,
+        "tpch_q14": relextmod.SQL_PROMO_REVENUE_EFFECT,
+        "tpch_q15": relextmod.SQL_TOP_SUPPLIER,
+        "tpch_q16": relextmod.SQL_SUPPLIER_PART_COUNTS,
+        "tpch_q18": relextmod.SQL_LARGE_VOLUME_CUSTOMERS,
+        "tpch_q19": relextmod.SQL_DISCOUNTED_REVENUE,
+        "tpch_q20": relextmod.SQL_DOMINANT_TYPE_SUPPLIERS,
+        "tpch_q21": relextmod.SQL_SOLE_LATE_SUPPLIERS,
+        "tpch_q22": relextmod.SQL_DORMANT_RICH_CUSTOMERS,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,
