@@ -37,6 +37,7 @@ from geo_import_spark.operators import trainprep
 from geo_import_spark.operators import curation
 from geo_import_spark.operators import relational as relationalmod
 from geo_import_spark.operators import relational_ext as relextmod
+from geo_import_spark.operators import funnel as funnelmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -999,6 +1000,33 @@ def _tpch_q22(spark, sf_dir):
     return relextmod.dormant_rich_customers(t["customer"], t["orders"])
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _funnel_counts(spark, sf_dir):
+    """Ordered funnel view→click→purchase: users reaching each stage
+    under strict min-time ordering; one exchange-reused user shuffle."""
+    return funnelmod.funnel_counts(_events(spark, sf_dir))
+
+
+def _retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle on exact integer epoch-weeks."""
+    return funnelmod.retention_cohorts(_events(spark, sf_dir))
+
+
+def _last_touch(spark, sf_dir):
+    """Last-touch attribution of purchases within a 7-day window; one
+    window pass, event_id tie-break matches the oracle."""
+    return funnelmod.last_touch_attribution(_events(spark, sf_dir))
+
+
+def _event_transitions(spark, sf_dir):
+    """Per-user consecutive event-type transition counts (Markov
+    edges) in (us, event_id) order."""
+    return funnelmod.event_transitions(_events(spark, sf_dir))
+
+
 # --- layer-normalization queries (merger/reprojector parity) ---------------
 
 def _layer_merge(spark, sf_dir):
@@ -1171,6 +1199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _tpch_q20,
         "tpch_q21": _tpch_q21,
         "tpch_q22": _tpch_q22,
+        "funnel_counts": _funnel_counts,
+        "retention_cohorts": _retention_cohorts,
+        "last_touch": _last_touch,
+        "event_transitions": _event_transitions,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1683,6 +1715,10 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "tpch_q20": relextmod.SQL_DOMINANT_TYPE_SUPPLIERS,
         "tpch_q21": relextmod.SQL_SOLE_LATE_SUPPLIERS,
         "tpch_q22": relextmod.SQL_DORMANT_RICH_CUSTOMERS,
+        "funnel_counts": funnelmod.sql_funnel_counts(),
+        "retention_cohorts": funnelmod.SQL_RETENTION_COHORTS,
+        "last_touch": funnelmod.SQL_LAST_TOUCH_ATTRIBUTION,
+        "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,
