@@ -38,6 +38,7 @@ from geo_import_spark.operators import curation
 from geo_import_spark.operators import relational as relationalmod
 from geo_import_spark.operators import relational_ext as relextmod
 from geo_import_spark.operators import funnel as funnelmod
+from geo_import_spark.operators import spatialstats
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -1000,8 +1001,19 @@ def _tpch_q22(spark, sf_dir):
     return relextmod.dormant_rich_customers(t["customer"], t["orders"])
 
 
-def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+def _morans_i(spark, sf_dir):
+    """Global Moran's I of the density grid (rook adjacency over
+    occupied cells) — exact integer num/den, one double at the end."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.morans_i(geojson.point_spans(docs))
+
+
+def _pair_counts(spark, sf_dir):
+    """Ripley-K pair counts at 1°/2°/4° via the bucketed 3×3 cell
+    join; the oracle brute-forces the same subset (bucketed ==
+    all-pairs proof)."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.pair_counts(geojson.point_spans(docs))
 
 
 def _funnel_counts(spark, sf_dir):
@@ -1203,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "last_touch": _last_touch,
         "event_transitions": _event_transitions,
+        "morans_i": _morans_i,
+        "pair_counts": _pair_counts,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1719,6 +1733,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "retention_cohorts": funnelmod.SQL_RETENTION_COHORTS,
         "last_touch": funnelmod.SQL_LAST_TOUCH_ATTRIBUTION,
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
+        "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
+        "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,

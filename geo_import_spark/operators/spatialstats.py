@@ -1,0 +1,219 @@
+"""Spatial statistics over the point corpus: Moran's I spatial
+autocorrelation on the density grid, and Ripley-K-style pair counts
+at multiple radii via the cell index.
+
+Both follow the package's exactness discipline — integer lattices
+until one final double expression — so the Spark plan and the DuckDB
+oracle hash-match:
+
+- **Moran's I** works on deviations scaled by the cell count:
+  `d_i = n_cells·count_i − total` (BIGINT). Since
+  `z_i = count_i − mean = d_i / n_cells`, the n_cells² factors cancel
+  in `Σ w_ij z_i z_j / Σ z_i²`, so numerator `Σ d_i d_j` and
+  denominator `Σ d_i²` stay exact integers; the statistic is one
+  deterministic double expression `(n·num)/(W·den)` at the end.
+- **Pair counts** compare exact squared micro-degree distances
+  (`dx² + dy² ≤ r²` on BIGINTs). The Spark side buckets points into
+  an integer grid sized to the largest radius and joins 3×3 neighbor
+  cells — never a cross join; the DuckDB oracle brute-forces the
+  same (deterministically sampled) subset, proving the bucketed plan
+  equals the quadratic one.
+
+Scale: the density grid is bounded by 4^level cells regardless of
+input size, so the Moran adjacency join is dimension-sized. The pair
+count shuffles points once by cell; the 9× explode is on the probe
+side only, and skewed hot cells are bounded by the corpus density
+cap. geo-import has no spatial statistics (reference parity: none —
+engine extension per the brief, like operators/geomstats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MORAN_LEVEL = 6
+_N = 1 << MORAN_LEVEL
+
+
+def _grid_xy(points: DataFrame) -> DataFrame:
+    """Clamp/floor grid assignment — the same arithmetic as
+    functions/cells.py cell_col and the grid_density oracle."""
+    gx = F.floor((F.col("lon") + 180.0) / 360.0 * _N).cast("long")
+    gy = F.floor((90.0 - F.col("lat")) / 180.0 * _N).cast("long")
+    clamp = lambda c: F.greatest(F.least(c, F.lit(_N - 1)), F.lit(0))
+    return points.select(clamp(gx).alias("x"), clamp(gy).alias("y"))
+
+
+def morans_i(points: DataFrame) -> DataFrame:
+    """Global Moran's I of the point-density grid under rook
+    adjacency over OCCUPIED cells (the standard occupied-lattice
+    formulation; empty cells are not areal units).
+
+    Output (one row): (n_cells, w_pairs, num, den, morans_i) where
+    num = Σ_adjacent d_i·d_j (directed pairs), den = Σ d_i²,
+    morans_i = (n_cells·num)/(w_pairs·den).
+
+    Plan: one map-side-combined shuffle on (x, y) builds the grid
+    (≤ 4^level rows); the scalar (total, n_cells) broadcasts back;
+    rook adjacency is an EQUI-join — each cell emits its 4 neighbor
+    coordinates and joins on exact (x, y) — never a theta join; the
+    final aggregate is one row.
+    """
+    g = _grid_xy(points).groupBy("x", "y").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("total"),
+                F.count(F.lit(1)).alias("n_cells"))
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "x", "y", "n_cells",
+        (F.col("n_cells") * F.col("n") - F.col("total")).alias("di"),
+    )
+    neigh = d.select(
+        "x", "y", "di",
+        F.explode(
+            F.array(
+                F.struct((F.col("x") + 1).alias("nx"), F.col("y").alias("ny")),
+                F.struct((F.col("x") - 1).alias("nx"), F.col("y").alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") + 1).alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") - 1).alias("ny")),
+            )
+        ).alias("nb"),
+    ).select("di", F.col("nb.nx").alias("nx"), F.col("nb.ny").alias("ny"))
+    pairs = neigh.join(
+        d.select(F.col("x").alias("nx"), F.col("y").alias("ny"),
+                 F.col("di").alias("dj")),
+        ["nx", "ny"],
+    )
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.col("di") * F.col("dj")).alias("num"),
+    )
+    dstats = d.agg(F.max("n_cells").alias("n_cells"),
+                   F.sum(F.col("di") * F.col("di")).alias("den"))
+    return dstats.crossJoin(F.broadcast(pstats)).select(
+        "n_cells", "w_pairs", "num", "den",
+        ((F.col("n_cells").cast("double") * F.col("num").cast("double"))
+         / (F.col("w_pairs").cast("double") * F.col("den").cast("double"))
+         ).alias("morans_i"),
+    )
+
+
+def sql_morans_i(sql_points: str) -> str:
+    """DuckDB mirror over the same pts CTE used by the grid oracle."""
+    return f"""
+WITH pts AS ({sql_points}), c AS (
+  SELECT GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS y
+  FROM pts
+),
+g AS (SELECT x, y, count(*) AS n FROM c GROUP BY x, y),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS n_cells FROM g),
+d AS (SELECT x, y, n_cells, n_cells * n - total AS di FROM g, tot),
+pairs AS (
+  SELECT a.di AS di, b.di AS dj
+  FROM d a JOIN d b ON abs(a.x - b.x) + abs(a.y - b.y) = 1
+),
+ps AS (SELECT count(*) AS w_pairs,
+              CAST(COALESCE(SUM(di * dj), 0) AS BIGINT) AS num FROM pairs),
+ds AS (SELECT MAX(n_cells) AS n_cells,
+              CAST(SUM(di * di) AS BIGINT) AS den FROM d)
+SELECT n_cells, w_pairs, num, den,
+       (CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE))
+         / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE)) AS morans_i
+FROM ds, ps
+"""
+
+
+# --- Ripley-style pair counts -------------------------------------------------
+
+PAIR_SAMPLE_MOD = 8           # deterministic subset: doc number % 8 == 0
+# the hashed corpus lattice is sparse at small SF (nearest sampled
+# neighbors ~11° apart at sf0.001), so the radii start at 4°
+PAIR_RADII_UDEG = (4_000_000, 8_000_000, 16_000_000)  # 4°, 8°, 16° in µdeg
+_PAIR_CELL_UDEG = 16_000_000  # grid pitch ≥ max radius → 3×3 probe suffices
+
+
+def pair_counts(points: DataFrame,
+                radii_udeg: tuple[int, ...] = PAIR_RADII_UDEG) -> DataFrame:
+    """Ordered point-pair counts within each planar radius (the
+    Ripley's K numerator), on a deterministic 1/PAIR_SAMPLE_MOD
+    subset of docs.
+
+    Distances are EXACT: coordinates round to integer micro-degrees
+    (they are µdeg-lattice values by corpus construction), and the
+    test is `dx² + dy² ≤ r²` on BIGINTs — no float comparison.
+
+    Plan: points shuffle ONCE by integer grid cell (pitch ≥ max
+    radius); the left side explodes its 3×3 neighborhood and
+    equi-joins on the cell key — the classic bucketed spatial join,
+    never a cross join. Pairs count once via doc_a < doc_b. The
+    oracle brute-forces the subset quadratically, so this query
+    PROVES bucketed == all-pairs.
+    """
+    p = points.select(
+        F.split(F.col("doc_id"), "-").getItem(1).cast("long").alias("id"),
+        F.round(F.col("lon") * 1_000_000, 0).cast("long").alias("ix"),
+        F.round(F.col("lat") * 1_000_000, 0).cast("long").alias("iy"),
+    ).filter(F.col("id") % PAIR_SAMPLE_MOD == 0)
+    cell = lambda c, off: F.expr(f"({c} + {off}) div {_PAIR_CELL_UDEG}")
+    right = p.select(
+        F.col("id").alias("id_b"), F.col("ix").alias("bx"),
+        F.col("iy").alias("by"),
+        cell("ix", 180_000_000).alias("gx"),
+        cell("iy", 90_000_000).alias("gy"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    left = p.select(
+        F.col("id").alias("id_a"), F.col("ix").alias("ax"),
+        F.col("iy").alias("ay"),
+        cell("ix", 180_000_000).alias("cgx"),
+        cell("iy", 90_000_000).alias("cgy"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "id_a", "ax", "ay",
+        (F.col("cgx") + F.col("o.dx")).alias("gx"),
+        (F.col("cgy") + F.col("o.dy")).alias("gy"),
+    )
+    max_r = max(radii_udeg)
+    pairs = (
+        left.join(right, ["gx", "gy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+             + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+             ).alias("d2"))
+        .filter(F.col("d2") <= F.lit(max_r * max_r))
+    )
+    # long literals: r² overflows int32 under ANSI arithmetic
+    radii = F.array(*[F.lit(r).cast("long") for r in radii_udeg])
+    return (
+        pairs.select(F.explode(radii).alias("radius_udeg"), "d2")
+        .filter(F.col("d2") <= F.col("radius_udeg") * F.col("radius_udeg"))
+        .groupBy("radius_udeg")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def sql_pair_counts(sql_points: str,
+                    radii_udeg: tuple[int, ...] = PAIR_RADII_UDEG) -> str:
+    radii = ", ".join(str(r) for r in radii_udeg)
+    return f"""
+WITH pts AS ({sql_points}), p AS (
+  SELECT CAST(split_part(doc_id, '-', 2) AS BIGINT) AS id,
+         CAST(round(lon * 1000000, 0) AS BIGINT) AS ix,
+         CAST(round(lat * 1000000, 0) AS BIGINT) AS iy
+  FROM pts
+  WHERE CAST(split_part(doc_id, '-', 2) AS BIGINT) % {PAIR_SAMPLE_MOD} = 0
+),
+d2s AS (
+  SELECT (a.ix - b.ix) * (a.ix - b.ix)
+       + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+  FROM p a JOIN p b ON a.id < b.id
+),
+radii AS (SELECT CAST(UNNEST(ARRAY[{radii}]) AS BIGINT) AS radius_udeg)
+SELECT radius_udeg, count(*) AS n_pairs
+FROM d2s JOIN radii ON d2 <= radius_udeg * radius_udeg
+GROUP BY radius_udeg
+"""
