@@ -39,6 +39,7 @@ from geo_import_spark.operators import relational as relationalmod
 from geo_import_spark.operators import relational_ext as relextmod
 from geo_import_spark.operators import funnel as funnelmod
 from geo_import_spark.operators import spatialstats
+from geo_import_spark.operators import statistics as statsmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -1001,6 +1002,35 @@ def _tpch_q22(spark, sf_dir):
     return relextmod.dormant_rich_customers(t["customer"], t["orders"])
 
 
+def _qty_price_corr(spark, sf_dir):
+    """Pearson r per return flag from exact integer moment sums."""
+    return statsmod.qty_price_correlation(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _price_qty_regression(spark, sf_dir):
+    """Per-group OLS slope/intercept from the same exact moments."""
+    return statsmod.price_qty_regression(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _rfm_segments(spark, sf_dir):
+    """RFM quartile histogram with unique-key tie-broken ntile(4)."""
+    return statsmod.rfm_segments(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def _decayed_revenue(spark, sf_dir):
+    """Half-life decayed revenue — pure BIGINT shift decay."""
+    return statsmod.decayed_revenue(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def _morans_i(spark, sf_dir):
     """Global Moran's I of the density grid (rook adjacency over
     occupied cells) — exact integer num/den, one double at the end."""
@@ -1217,6 +1247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
+        "qty_price_corr": _qty_price_corr,
+        "price_qty_regression": _price_qty_regression,
+        "rfm_segments": _rfm_segments,
+        "decayed_revenue": _decayed_revenue,
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
@@ -1735,6 +1769,10 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
+        "qty_price_corr": statsmod.SQL_QTY_PRICE_CORRELATION,
+        "price_qty_regression": statsmod.SQL_PRICE_QTY_REGRESSION,
+        "rfm_segments": statsmod.SQL_RFM_SEGMENTS,
+        "decayed_revenue": statsmod.SQL_DECAYED_REVENUE,
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,

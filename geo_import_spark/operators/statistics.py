@@ -1,0 +1,261 @@
+"""Statistical analytics with deterministic distributed math: exact
+moment sums for correlation/regression, quartile segmentation, and
+time-decay scoring that stays order-independent.
+
+The package rule (operators/relational.py): a double accumulated
+across partitions depends on reduction order and cannot be
+hash-compared — so every operator here reduces ONLY integers and
+applies the floating-point formula once to the reduced scalars:
+
+- **Pearson / OLS** reduce the five moment sums n, Σx, Σy, Σxy, Σx²
+  (and Σy²) over integer-lattice inputs (cents / integer quantities),
+  then evaluate r and (slope, intercept) as one closed-form double
+  expression per group.
+- **RFM segmentation** buckets customers by ntile(4) windows whose
+  ordering carries a unique-key tie-break, so ranks are total and
+  both engines bucket identically.
+- **Decayed revenue** decays by whole elapsed half-lives with a pure
+  integer right-shift division (cents div 2^k) — no `pow` anywhere,
+  because libm pow differs by ULPs across engines and a ULP under a
+  floor() breaks hash parity; the integer form is exact at any
+  parallelism AND across engines.
+
+Scale: every operator is scan → one map-side-combined shuffle on its
+group key (or one window pass for RFM). geo-import has no statistics
+layer (reference parity: none — engine extension per the brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import SQL_CENTS, _cents
+
+
+def _moments(df: DataFrame, key, x, y) -> DataFrame:
+    """Exact integer moment sums per group: n, Σx, Σy, Σxy, Σx², Σy²."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+
+
+def qty_price_correlation(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation of (quantity, price-in-cents) per return
+    flag, computed from exact integer moment sums; r is one double
+    expression over the six reduced scalars.
+
+    Output: (l_returnflag, n, r).
+    """
+    x = F.col("l_quantity").cast("long")
+    y = _cents(F.col("l_extendedprice"))
+    m = _moments(lineitem, "l_returnflag", x, y)
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return m.select("l_returnflag", "n", (num / den).alias("r"))
+
+
+SQL_QTY_PRICE_CORRELATION = f"""
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+              * {SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
+              * {SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+FROM m
+"""
+
+
+def price_qty_regression(lineitem: DataFrame) -> DataFrame:
+    """Per-return-flag OLS of price_cents ~ quantity from the same
+    exact moment sums: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    intercept = (Σy − slope·Σx)/n — closed-form doubles over reduced
+    integers, so both engines evaluate bit-identically.
+
+    Output: (l_returnflag, n, slope, intercept).
+    """
+    x = F.col("l_quantity").cast("long")
+    y = _cents(F.col("l_extendedprice"))
+    m = _moments(lineitem, "l_returnflag", x, y)
+    d = lambda c: F.col(c).cast("double")
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return m.select(
+        "l_returnflag", "n", slope.alias("slope"),
+        ((d("sy") - slope * d("sx")) / d("n")).alias("intercept"),
+    )
+
+
+SQL_PRICE_QTY_REGRESSION = f"""
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+              * {SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM m
+"""
+
+
+RFM_ASOF = "2001-09-01"
+
+
+def rfm_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """RFM quartile segmentation: per customer, recency (days since
+    last order at the as-of date), frequency (order count), monetary
+    (total cents); each dimension quartiled with ntile(4) over a
+    TOTAL order (metric, then custkey) so both engines bucket
+    identically; output is the segment histogram.
+
+    Output: (r_q, f_q, m_q, n_customers).
+
+    Plan: one aggregate on custkey, three window passes over ONE
+    custkey-clustered exchange (ntile needs a global sort per metric;
+    at 100 TB swap for approx-quantile cut points — the exact form is
+    the oracle-comparable baseline).
+    """
+    us_asof = F.unix_micros(F.lit(RFM_ASOF).cast("timestamp"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+            .alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("money_c"),
+        )
+        .select(
+            "o_custkey",
+            (us_asof - F.col("last_us")).alias("age_us"),
+            "freq", "money_c",
+        )
+        # `div` = exact long floor-division (funnel.py convention)
+        .select(
+            "o_custkey",
+            F.expr("age_us div 86400000000").alias("recency_days"),
+            "freq", "money_c",
+        )
+    )
+    # recency: smaller = better -> ascending puts best in quartile 1
+    rq = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    fq = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    mq = Window.orderBy(F.col("money_c").desc(), F.col("o_custkey"))
+    seg = per_cust.select(
+        F.ntile(4).over(rq).cast("long").alias("r_q"),
+        F.ntile(4).over(fq).cast("long").alias("f_q"),
+        F.ntile(4).over(mq).cast("long").alias("m_q"),
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST((epoch_us(TIMESTAMP '{RFM_ASOF} 00:00:00')
+               - max(epoch_us(o_orderdate))) // 86400000000 AS BIGINT)
+           AS recency_days,
+         count(*) AS freq,
+         CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS money_c
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+         CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+         CAST(ntile(4) OVER (ORDER BY money_c DESC, o_custkey) AS BIGINT) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers
+FROM seg GROUP BY r_q, f_q, m_q
+"""
+
+
+DECAY_ASOF = "2001-09-01"
+DECAY_HALFLIFE_DAYS = 365
+
+
+def decayed_revenue(orders: DataFrame) -> DataFrame:
+    """Half-life time-decayed revenue per customer: each order
+    contributes totalprice halved once per full half-life elapsed —
+    cents div 2^k with k = age_days div halflife.
+
+    Deliberately step-wise, not smooth: a smooth 2^(−age/H) needs
+    libm pow, whose last-ULP behavior differs across engines and, fed
+    through floor(), breaks cross-engine hash parity. The step decay
+    is pure BIGINT arithmetic — exact at any partitioning AND in both
+    engines. k caps at 62 (shift-safe; the weight is 0 cents long
+    before that).
+
+    Output: (o_custkey, decayed_c) — cents.
+    """
+    us_asof = F.unix_micros(F.lit(DECAY_ASOF).cast("timestamp"))
+    staged = orders.select(
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        (us_asof - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .alias("age_us"),
+    ).select(
+        "o_custkey", "price_c",
+        F.expr(
+            f"age_us div 86400000000 div {DECAY_HALFLIFE_DAYS}"
+        ).alias("k"),
+    )
+    term = F.expr(
+        "price_c div shiftleft(CAST(1 AS BIGINT), CAST(least(k, 62) AS INT))"
+    )
+    return staged.groupBy("o_custkey").agg(
+        F.sum(term).alias("decayed_c")
+    )
+
+
+SQL_DECAYED_REVENUE = f"""
+WITH staged AS (
+  SELECT o_custkey,
+         {SQL_CENTS.format(x='o_totalprice')} AS price_c,
+         (epoch_us(TIMESTAMP '{DECAY_ASOF} 00:00:00') - epoch_us(o_orderdate))
+           // 86400000000 // {DECAY_HALFLIFE_DAYS} AS k
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(SUM(price_c // (CAST(1 AS BIGINT) << CAST(LEAST(k, 62) AS INT)))
+            AS BIGINT) AS decayed_c
+FROM staged GROUP BY o_custkey
+"""
