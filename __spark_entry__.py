@@ -1002,6 +1002,28 @@ def _tpch_q22(spark, sf_dir):
     return relextmod.dormant_rich_customers(t["customer"], t["orders"])
 
 
+def _cooccur_edges(spark, sf_dir):
+    """Weighted supplier co-occurrence edges (src<dst) from same-order
+    line items; one orderkey self-join, bounded per-order fan-out."""
+    return graphmod.cooccur_edges(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _degree_histogram(spark, sf_dir):
+    """Degree distribution of the co-occurrence graph."""
+    return graphmod.degree_histogram(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _triangle_count(spark, sf_dir):
+    """Exact triangles via oriented wedge join + closure join."""
+    return graphmod.triangle_count(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
 def _qty_price_corr(spark, sf_dir):
     """Pearson r per return flag from exact integer moment sums."""
     return statsmod.qty_price_correlation(
@@ -1247,6 +1269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
+        "cooccur_edges": _cooccur_edges,
+        "degree_histogram": _degree_histogram,
+        "triangle_count": _triangle_count,
         "qty_price_corr": _qty_price_corr,
         "price_qty_regression": _price_qty_regression,
         "rfm_segments": _rfm_segments,
@@ -1769,6 +1794,9 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
+        "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,
+        "degree_histogram": graphmod.SQL_DEGREE_HISTOGRAM,
+        "triangle_count": graphmod.SQL_TRIANGLE_COUNT,
         "qty_price_corr": statsmod.SQL_QTY_PRICE_CORRELATION,
         "price_qty_regression": statsmod.SQL_PRICE_QTY_REGRESSION,
         "rfm_segments": statsmod.SQL_RFM_SEGMENTS,

@@ -101,3 +101,121 @@ def sql_pagerank(iters: int = PR_ITERS) -> str:
 
 
 SQL_PAGERANK = sql_pagerank()
+
+
+# --- supplier co-occurrence graph ---------------------------------------------
+#
+# Nodes = suppliers; an undirected edge (a, b), a < b, connects two
+# suppliers that shipped line items of the SAME order, weighted by the
+# number of co-orders. Order sizes are bounded (a handful of lines),
+# so the per-order pair fan-out is O(k²) with small k — the self-join
+# on orderkey never blows up, unlike a supplier-level cross join.
+
+
+def cooccur_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct weighted co-occurrence edges.
+
+    Output: (src, dst, w) with src < dst, w = co-order count.
+
+    Plan: distinct (orderkey, suppkey) first (shrinks multi-line
+    pairs), then ONE self-equi-join on orderkey (both sides share the
+    exchange) with the a<b filter, then a map-side-combined count on
+    the edge key.
+    """
+    os_ = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = os_.select("ok", F.col("s").alias("src"))
+    b = os_.select("ok", F.col("s").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+SQL_COOCCUR_EDGES = """
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem)
+SELECT a.s AS src, b.s AS dst, count(*) AS w
+FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+GROUP BY a.s, b.s
+"""
+
+
+def degree_histogram(lineitem: DataFrame) -> DataFrame:
+    """Degree distribution of the co-occurrence graph: how many nodes
+    have each (distinct-neighbor) degree.
+
+    Output: (degree, n_nodes). Two map-side-combined aggregates over
+    the edge list (each edge contributes to both endpoints via a
+    union — no window, no collect).
+    """
+    e = cooccur_edges(lineitem)
+    ends = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT a.s AS src, b.s AS dst
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY node)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def triangle_count(lineitem: DataFrame) -> DataFrame:
+    """Exact triangle count of the co-occurrence graph.
+
+    Output (one row): (n_nodes, n_edges, n_triangles).
+
+    Plan: the canonical two-join enumeration over ORIENTED edges
+    (src < dst): wedges (a<b<c) from e(a,b)⋈e(b,c), closed by
+    e(a,c). Orientation alone bounds the join fan-out by the
+    out-degree of the ordered graph; at web scale the standard
+    refinement is degree-ordering the orientation — the plan shape
+    (two equi-joins, no cross product) is already that one.
+    """
+    e = cooccur_edges(lineitem).select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, "b")
+    tri = wedges.join(ac, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = e.select(F.col("src").alias("n")).unionAll(
+        e.select(F.col("dst").alias("n"))
+    ).distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT a.s AS src, b.s AS dst
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+nn AS (SELECT count(*) AS n_nodes FROM
+       (SELECT DISTINCT n FROM
+         (SELECT src AS n FROM e UNION ALL SELECT dst FROM e))),
+ne AS (SELECT count(*) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
+"""
