@@ -40,6 +40,7 @@ from geo_import_spark.operators import relational_ext as relextmod
 from geo_import_spark.operators import funnel as funnelmod
 from geo_import_spark.operators import spatialstats
 from geo_import_spark.operators import statistics as statsmod
+from geo_import_spark.operators import timeseries as tsmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -1002,6 +1003,18 @@ def _tpch_q22(spark, sf_dir):
     return relextmod.dormant_rich_customers(t["customer"], t["orders"])
 
 
+def _gap_fill_hourly(spark, sf_dir):
+    """Dense gap-filled hourly per-type counts from a broadcast
+    global bound — dimension-sized dense frame, missing hours = 0."""
+    return tsmod.gap_fill_hourly(_events(spark, sf_dir))
+
+
+def _resample_linear(spark, sf_dir):
+    """Per-user linear interpolation onto the 6h grid; one window
+    pass + bounded sequence explode, formula-identical oracle."""
+    return tsmod.resample_linear(_events(spark, sf_dir))
+
+
 def _cooccur_edges(spark, sf_dir):
     """Weighted supplier co-occurrence edges (src<dst) from same-order
     line items; one orderkey self-join, bounded per-order fan-out."""
@@ -1269,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
+        "gap_fill_hourly": _gap_fill_hourly,
+        "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
         "degree_histogram": _degree_histogram,
         "triangle_count": _triangle_count,
@@ -1794,6 +1809,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
+        "gap_fill_hourly": tsmod.SQL_GAP_FILL_HOURLY,
+        "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,
         "degree_histogram": graphmod.SQL_DEGREE_HISTOGRAM,
         "triangle_count": graphmod.SQL_TRIANGLE_COUNT,

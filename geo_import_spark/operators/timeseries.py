@@ -1,0 +1,166 @@
+"""Time-series resampling over the event stream: dense gap-filled
+hourly series and linear interpolation onto a regular grid.
+
+Conventions (funnel.py / temporal.py): time crosses engines as
+integer epoch microseconds; bucketing is exact long floor-division
+(`div` / DuckDB `//`); values enter as floor-rounded integer
+micro-units, and the interpolation formula is ONE deterministic
+double expression per output row (IEEE +,−,×,÷ are correctly rounded,
+so identical expressions give identical bits in both engines — no
+accumulated sums, no libm).
+
+Scale: gap-fill materializes |types| × |hours| rows from a 1-row
+global bound — dimension-sized, not data-sized. Resampling is one
+window pass per user (consecutive-pair form) and the grid explode is
+bounded by span/step per user; no self-joins.
+
+Reference parity: geo-import has no time-series layer — engine
+extension per the brief, sibling to streaming/events.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_HOUR = 3_600_000_000
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Dense per-type hourly counts: every (event_type, hour) in the
+    GLOBAL [min, max] hour range appears, missing hours as n = 0.
+
+    Output: (event_type, hour_id, n); hour_id = epoch-hours.
+
+    Plan: the sparse counts are one map-side-combined shuffle; the
+    dense frame is sequence-exploded from a broadcast 1-row global
+    bound × the distinct type list, then LEFT joins the counts —
+    the dense side is dimension-sized (types × hours), never
+    event-sized.
+    """
+    e = events.select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_HOUR}")
+        .alias("hour_id"),
+    )
+    counts = e.groupBy("event_type", "hour_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = e.agg(F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1"))
+    types = e.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type",
+                F.explode(F.sequence("h0", "h1")).alias("hour_id"))
+    )
+    return dense.join(counts, ["event_type", "hour_id"], "left").select(
+        "event_type", "hour_id", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+SQL_GAP_FILL_HOURLY = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_HOUR} AS hour_id FROM events
+),
+counts AS (
+  SELECT event_type, hour_id, count(*) AS n FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(hour_id) AS h0, max(hour_id) AS h1 FROM e),
+dense AS (
+  SELECT t.event_type, UNNEST(generate_series(b.h0, b.h1)) AS hour_id
+  FROM (SELECT DISTINCT event_type FROM e) t, bounds b
+)
+SELECT dense.event_type, dense.hour_id,
+       COALESCE(counts.n, 0) AS n
+FROM dense LEFT JOIN counts
+  ON dense.event_type = counts.event_type
+ AND dense.hour_id = counts.hour_id
+"""
+
+
+RESAMPLE_STEP_US = 6 * US_PER_HOUR  # 6-hour grid
+
+
+def resample_linear(events: DataFrame,
+                    step_us: int = RESAMPLE_STEP_US) -> DataFrame:
+    """Linear interpolation of each user's value series onto the
+    regular step grid: for every grid instant g in (t_i, t_{i+1}]
+    between consecutive events, emit
+    v = v0 + (v1 − v0)·(g − t0)/(t1 − t0).
+
+    Values are floor-rounded micro-units before interpolation; the
+    formula is evaluated once per output row with the exact same
+    expression tree in the oracle, so the doubles hash-match.
+
+    Output: (user_id, grid_us, v_interp).
+
+    Plan: one window pass (consecutive pairs via lead over the
+    user_id exchange, event_id tie-break), then a bounded sequence
+    explode — grid points per pair ≤ gap/step. Zero-length pairs
+    (equal timestamps) drop; the next pair spans the same interval,
+    so coverage is gapless.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi"),
+    )
+    p = (
+        e.select(
+            "user_id",
+            F.col("us").alias("t0"), F.col("vmi").alias("v0"),
+            F.lead("us").over(w).alias("t1"),
+            F.lead("vmi").over(w).alias("v1"),
+        )
+        .filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+        .select(
+            "user_id", "t0", "v0", "t1", "v1",
+            F.expr(f"t0 div {step_us} + 1").alias("k0"),
+            F.expr(f"t1 div {step_us}").alias("k1"),
+        )
+        .filter(F.col("k1") >= F.col("k0"))
+    )
+    g = p.select(
+        "user_id", "t0", "v0", "t1", "v1",
+        F.explode(F.sequence("k0", "k1")).alias("k"),
+    ).select(
+        "user_id", "t0", "v0", "t1", "v1",
+        (F.col("k") * step_us).alias("grid_us"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    v = d("v0") + (d("v1") - d("v0")) * (F.col("grid_us") - F.col("t0")
+                                         ).cast("double") / (
+        F.col("t1") - F.col("t0")).cast("double")
+    return g.select("user_id", "grid_us", v.alias("v_interp"))
+
+
+def sql_resample_linear(step_us: int = RESAMPLE_STEP_US) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi
+  FROM events
+),
+p AS (
+  SELECT user_id, us AS t0, vmi AS v0,
+         lead(us) OVER w AS t1, lead(vmi) OVER w AS v1
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+q AS (
+  SELECT user_id, t0, v0, t1, v1,
+         t0 // {step_us} + 1 AS k0, t1 // {step_us} AS k1
+  FROM p WHERE t1 IS NOT NULL AND t1 > t0
+),
+g AS (
+  SELECT user_id, t0, v0, t1, v1,
+         UNNEST(generate_series(k0, k1)) * {step_us} AS grid_us
+  FROM q WHERE k1 >= k0
+)
+SELECT user_id, grid_us,
+       CAST(v0 AS DOUBLE)
+         + (CAST(v1 AS DOUBLE) - CAST(v0 AS DOUBLE))
+           * CAST(grid_us - t0 AS DOUBLE)
+           / CAST(t1 - t0 AS DOUBLE) AS v_interp
+FROM g
+"""
