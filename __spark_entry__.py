@@ -41,6 +41,7 @@ from geo_import_spark.operators import funnel as funnelmod
 from geo_import_spark.operators import spatialstats
 from geo_import_spark.operators import statistics as statsmod
 from geo_import_spark.operators import timeseries as tsmod
+from geo_import_spark.operators import ranking as rankmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
@@ -1003,6 +1004,27 @@ def _tpch_q22(spark, sf_dir):
     return relextmod.dormant_rich_customers(t["customer"], t["orders"])
 
 
+def _top_customers_per_nation(spark, sf_dir):
+    """Rank-within-partition top-k, aggregate-before-rank plan."""
+    return rankmod.top_customers_per_nation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def _user_type_pivot(spark, sf_dir):
+    """Crosstab reshape as one conditional aggregate."""
+    return rankmod.user_type_pivot(_events(spark, sf_dir))
+
+
+def _revenue_pareto(spark, sf_dir):
+    """Customer-value Pareto deciles with exact cumulative cents."""
+    return rankmod.revenue_pareto(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def _gap_fill_hourly(spark, sf_dir):
     """Dense gap-filled hourly per-type counts from a broadcast
     global bound — dimension-sized dense frame, missing hours = 0."""
@@ -1282,6 +1304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
+        "top_customers_per_nation": _top_customers_per_nation,
+        "user_type_pivot": _user_type_pivot,
+        "revenue_pareto": _revenue_pareto,
         "gap_fill_hourly": _gap_fill_hourly,
         "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
@@ -1809,6 +1834,9 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
+        "top_customers_per_nation": rankmod.SQL_TOP_CUSTOMERS_PER_NATION,
+        "user_type_pivot": rankmod.SQL_USER_TYPE_PIVOT,
+        "revenue_pareto": rankmod.SQL_REVENUE_PARETO,
         "gap_fill_hourly": tsmod.SQL_GAP_FILL_HOURLY,
         "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,
