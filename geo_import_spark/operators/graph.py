@@ -183,21 +183,33 @@ def triangle_count(lineitem: DataFrame) -> DataFrame:
     out-degree of the ordered graph; at web scale the standard
     refinement is degree-ordering the orientation — the plan shape
     (two equi-joins, no cross product) is already that one.
+
+    The edge list is node-dimension-sized (≤ |suppliers|²/2), so it
+    is PERSISTED for the three consumers (edge count, node count,
+    wedge closure) and unpersisted before returning — the expensive
+    fact-table self-join inside cooccur_edges runs exactly once, not
+    once per branch (a lazy five-branch plan re-derived it five
+    times). The scalar result is computed eagerly and returned as a
+    literal one-row frame.
     """
-    e = cooccur_edges(lineitem).select("src", "dst")
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = ab.join(bc, "b")
-    tri = wedges.join(ac, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    nodes = e.select(F.col("src").alias("n")).unionAll(
-        e.select(F.col("dst").alias("n"))
-    ).distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))
+    spark = lineitem.sparkSession
+    e = cooccur_edges(lineitem).select("src", "dst").persist()
+    try:
+        n_edges = e.count()  # materializes the persisted edge list
+        n_nodes = (
+            e.select(F.col("src").alias("n"))
+            .unionAll(e.select(F.col("dst").alias("n")))
+            .distinct().count()
+        )
+        ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        n_tri = ab.join(bc, "b").join(ac, ["a", "c"]).count()
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes long, n_edges long, n_triangles long",
     )
 
 
