@@ -84,3 +84,26 @@ def test_upsert_keeps_time_travel(spark, tmp_path):
     }
     assert old == {(0, "old"), (1, "old"), (2, "old")}
     assert (0, "new") in _rows(spark, t)
+
+
+def test_replace_with_changed_schema_drops_old_columns(spark, tmp_path):
+    """Reference replace-flow parity (spatial.js copySchema): replacing
+    a dataset with a different schema DROPS the old columns — the new
+    snapshot's schema is exactly the new frame's, never a merge — while
+    time travel still reads the old shape from the old snapshot."""
+    t = Table(str(tmp_path / "tbl"))
+    v1 = spark.range(3).select("id", F.lit("x").alias("old_col"))
+    s1 = t.commit(spark, v1)
+    v2 = spark.range(4).select("id", (F.col("id") * 2).alias("new_col"))
+    t.commit(spark, v2, mode="overwrite")
+
+    cur = t.read(spark)
+    assert cur.columns == ["id", "new_col"]
+    assert cur.count() == 4
+    # the replaced column is genuinely gone, not nulled
+    assert "old_col" not in {f.name for f in cur.schema.fields}
+    # the log shows a replace, and time travel resurrects the old shape
+    assert t.snapshot_log()[-1]["kind"] == "overwrite"
+    old = t.read(spark, snapshot_id=s1["snapshot_id"])
+    assert old.columns == ["id", "old_col"]
+    assert old.count() == 3
