@@ -96,10 +96,9 @@ def _session_fn(gap_seconds: int):
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming gap sessionization over events(ts, user_id, ...).
 
-    `events` may be a streaming DataFrame (readStream) or a batch one
-    (applyInPandasWithState runs in both; batch mode processes all
-    rows as one 'micro-batch', so only sessions closed by a same-run
-    successor are emitted — identical semantics either way).
+    `events` must be a STREAMING DataFrame (readStream) — Spark
+    rejects applyInPandasWithState in batch queries ("unsupported in
+    batch query"); the batch twin is streaming/events.sessionize.
     """
     return (
         events.select("user_id", "ts")
