@@ -343,11 +343,13 @@ def _hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label voting: majority label of the k nearest points per query (cell-join candidates, window re-rank, deterministic tie-break)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.knn_classify(emb, n_queries=ANN_QUERIES, k=10)
 
 
 def _nearest_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest rectangle polygon per query point by exact center distance (broadcast polygon side, argmin via min_by)."""
     docs = corpus.documents(spark, sf_dir)
     return knnmod.nearest_poly_join(
         geojson.point_spans(docs).select("doc_id", "lon", "lat"),
@@ -356,10 +358,12 @@ def _nearest_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token statistics per document (regex pre-tokenize + greedy merge table counts)."""
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
 
 def _source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture resampling: deterministic md5-threshold keep per source with exact integer quotas."""
     return trainprep.source_mix_sample(_docs(spark, sf_dir))
 
 
@@ -374,26 +378,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_stats(spark, sf_dir):
+    """Per-document text quality stats: length, punctuation/stopword/digit ratios (JVM regexp counts)."""
     return textops.text_stats(_docs(spark, sf_dir))
 
 
 def _token_counts(spark, sf_dir):
+    """Whitespace+regex token histogram over the corpus (explode + count)."""
     return textops.token_counts(_docs(spark, sf_dir))
 
 
 def _dedup_exact(spark, sf_dir):
+    """Exact duplicate groups by md5(text) with group sizes."""
     return textops.exact_dedup(_docs(spark, sf_dir))
 
 
 def _doc_fingerprint(spark, sf_dir):
+    """Whitespace-normalized md5 document fingerprint per doc."""
     return textops.doc_fingerprint(_docs(spark, sf_dir))
 
 
 def _simhash(spark, sf_dir):
+    """64-bit SimHash per document from JVM array expressions over token hashes."""
     return textops.simhash(_docs(spark, sf_dir))
 
 
 def _ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs via df-capped shingle join (no all-pairs)."""
     return dedupmod.ngram_jaccard_pairs(
         _docs(spark, sf_dir), JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
     )
@@ -406,6 +416,7 @@ def _dedup_clusters(spark, sf_dir):
 
 
 def _quality_score(spark, sf_dir):
+    """Composite document quality score from length/punct/stopword components (exact integer subscores)."""
     return textops.quality_score(_docs(spark, sf_dir))
 
 
@@ -415,6 +426,7 @@ def _lang_id(spark, sf_dir):
 
 
 def _rolling_fingerprint(spark, sf_dir):
+    """Rolling (Rabin-style) hash document fingerprints over character windows."""
     return textops.rolling_fingerprint(_docs(spark, sf_dir))
 
 
@@ -687,24 +699,29 @@ def _embed_dup_clusters(spark, sf_dir):
 
 
 def _minhash_sig(spark, sf_dir):
+    """Fixed-permutation MinHash signatures (JVM-side, constant perm table)."""
     return dedupmod.minhash_signatures(_docs(spark, sf_dir))
 
 
 def _minhash_lsh(spark, sf_dir):
+    """MinHash LSH banded candidate pairs with exact Jaccard verify."""
     return dedupmod.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def _ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (broadcast query side, JVM fold dot product) — the ANN baseline."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
 
 
 def _ann_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment per embedding (sign-bit bucketing)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_buckets(emb)
 
 
 def _ann_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH ANN top-k: own + Hamming-1 buckets, exact re-rank per query."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
 
@@ -716,6 +733,7 @@ def _ann_ivf_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
+    """Multimodal media features via mapInPandas Arrow streaming (typed metadata; codec stub isolated)."""
     docs = corpus.documents(spark, sf_dir)
     return multimodal.media_features(tiling.media_spans(docs))
 
@@ -732,6 +750,7 @@ def _events_sliding(spark, sf_dir):
 
 
 def _events_window(spark, sf_dir):
+    """Tumbling-window per-type event counts + exact micro-unit value sums."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return eventsmod.windowed_counts(ev)
 
@@ -743,6 +762,7 @@ def _sessionize_native(spark, sf_dir):
 
 
 def _sessionize(spark, sf_dir):
+    """Gap-based sessionization per user (two windows over one user_id shuffle)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return eventsmod.sessionize(ev, gap_minutes=30)
 
@@ -1096,7 +1116,7 @@ def _morans_i(spark, sf_dir):
 
 
 def _pair_counts(spark, sf_dir):
-    """Ripley-K pair counts at 1°/2°/4° via the bucketed 3×3 cell
+    """Ripley-K pair counts at 4°/8°/16° via the bucketed 3×3 cell
     join; the oracle brute-forces the same subset (bucketed ==
     all-pairs proof)."""
     docs = corpus.documents(spark, sf_dir)
