@@ -39,6 +39,7 @@ from geo_import_spark.operators import relational as relationalmod
 from geo_import_spark.operators import relational_ext as relextmod
 from geo_import_spark.operators import funnel as funnelmod
 from geo_import_spark.operators import spatialstats
+from geo_import_spark.operators import geodist
 from geo_import_spark.operators import statistics as statsmod
 from geo_import_spark.operators import timeseries as tsmod
 from geo_import_spark.operators import ranking as rankmod
@@ -1079,6 +1080,21 @@ def _triangle_count(spark, sf_dir):
     )
 
 
+def _hausdorff(spark, sf_dir):
+    """Directed Hausdorff distance (sampled points → polygon centers)
+    on the doubled µdeg lattice — broadcast centers, exact BIGINT."""
+    docs = corpus.documents(spark, sf_dir)
+    return geodist.hausdorff_to_centers(
+        geojson.point_spans(docs), corpus.polygons(spark, sf_dir)
+    )
+
+
+def _poly_containment(spark, sf_dir):
+    """Strict bbox containment pairs over the rectangle layer
+    (broadcast theta join on exact lattice coordinates)."""
+    return geodist.containment_pairs(corpus.polygons(spark, sf_dir))
+
+
 def _qty_price_corr(spark, sf_dir):
     """Pearson r per return flag from exact integer moment sums."""
     return statsmod.qty_price_correlation(
@@ -1324,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
+        "hausdorff": _hausdorff,
+        "poly_containment": _poly_containment,
         "top_customers_per_nation": _top_customers_per_nation,
         "user_type_pivot": _user_type_pivot,
         "revenue_pareto": _revenue_pareto,
@@ -1854,6 +1872,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
+        "hausdorff": geodist.sql_hausdorff(SQL_POINTS, SQL_POLYGONS),
+        "poly_containment": geodist.sql_containment(SQL_POLYGONS),
         "top_customers_per_nation": rankmod.SQL_TOP_CUSTOMERS_PER_NATION,
         "user_type_pivot": rankmod.SQL_USER_TYPE_PIVOT,
         "revenue_pareto": rankmod.SQL_REVENUE_PARETO,
