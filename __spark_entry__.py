@@ -1046,6 +1046,23 @@ def _revenue_pareto(spark, sf_dir):
     )
 
 
+def _customer_value_percentiles(spark, sf_dir):
+    """percent_rank / cume_dist over the total customer-value order."""
+    return rankmod.customer_value_percentiles(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def _nation_top_names(spark, sf_dir):
+    """Ordered string_agg: comma-joined top-3 customer names per
+    nation in rank order (sorted-struct collect + array_join)."""
+    return rankmod.nation_top_names(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def _gap_fill_hourly(spark, sf_dir):
     """Dense gap-filled hourly per-type counts from a broadcast
     global bound — dimension-sized dense frame, missing hours = 0."""
@@ -1345,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_nation": _top_customers_per_nation,
         "user_type_pivot": _user_type_pivot,
         "revenue_pareto": _revenue_pareto,
+        "customer_value_percentiles": _customer_value_percentiles,
+        "nation_top_names": _nation_top_names,
         "gap_fill_hourly": _gap_fill_hourly,
         "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
@@ -1877,6 +1896,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "top_customers_per_nation": rankmod.SQL_TOP_CUSTOMERS_PER_NATION,
         "user_type_pivot": rankmod.SQL_USER_TYPE_PIVOT,
         "revenue_pareto": rankmod.SQL_REVENUE_PARETO,
+        "customer_value_percentiles": rankmod.SQL_CUSTOMER_VALUE_PERCENTILES,
+        "nation_top_names": rankmod.SQL_NATION_TOP_NAMES,
         "gap_fill_hourly": tsmod.SQL_GAP_FILL_HOURLY,
         "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,

@@ -165,3 +165,93 @@ SELECT decile, n_customers, rev_c,
                              AND CURRENT ROW) AS BIGINT) AS cum_rev_c
 FROM per_decile
 """
+
+
+def customer_value_percentiles(orders: DataFrame) -> DataFrame:
+    """percent_rank / cume_dist of each customer's lifetime value —
+    the analytic-rank pair, over a (revenue, custkey) TOTAL order so
+    both engines compute identical fractions (percent_rank and
+    cume_dist are rational functions of integer ranks — deterministic
+    doubles).
+
+    Output: (o_custkey, revenue_c, pct_rank, cume).
+
+    Plan: per-customer reduce first; one global sort over |customers|
+    group rows. At 100 TB swap for approx ntile cut points — this is
+    the exact oracle-comparable baseline.
+    """
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("revenue_c")
+    )
+    w = Window.orderBy(F.col("revenue_c"), F.col("o_custkey"))
+    return rev.select(
+        "o_custkey", "revenue_c",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_CUSTOMER_VALUE_PERCENTILES = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT)
+           AS revenue_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, revenue_c,
+       percent_rank() OVER (ORDER BY revenue_c, o_custkey) AS pct_rank,
+       cume_dist() OVER (ORDER BY revenue_c, o_custkey) AS cume
+FROM rev
+"""
+
+
+def nation_top_names(customer: DataFrame, orders: DataFrame,
+                     nation: DataFrame,
+                     k: int = TOPK_PER_NATION) -> DataFrame:
+    """Ordered string aggregation: per nation, the comma-joined names
+    of its top-k customers by revenue, in rank order — the
+    listagg/string_agg reshape. Ordering is total (revenue DESC,
+    custkey), and the join runs AFTER the top-k filter, so the
+    concat sees exactly k dimension-joined rows per nation.
+
+    Output: (n_name, top_names).
+    """
+    top = top_customers_per_nation(customer, orders, nation, k)
+    c = customer.select("c_custkey", "c_name")
+    return (
+        top.join(F.broadcast(c), "c_custkey")
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                # collect (rnk, name) structs, sort by rank, project name
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rnk"), F.col("c_name")))
+                    ),
+                    lambda s: s.getField("c_name"),
+                ),
+                ",",
+            ).alias("top_names")
+        )
+    )
+
+
+SQL_NATION_TOP_NAMES = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) AS BIGINT)
+           AS revenue_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, c_name, revenue_c,
+         rank() OVER (PARTITION BY n_name
+                      ORDER BY revenue_c DESC, c_custkey) AS rnk
+  FROM rev
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT n_name, string_agg(c_name, ',' ORDER BY rnk) AS top_names
+FROM ranked WHERE rnk <= {TOPK_PER_NATION}
+GROUP BY n_name
+"""
