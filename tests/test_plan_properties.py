@@ -1,0 +1,81 @@
+"""Plan-regression tests: the scale-critical physical-plan properties
+the engine promises (pushdown reaching the scan, dimension joins
+broadcasting, no Python in JVM-only paths) asserted from
+explain("formatted") output, so a refactor that silently loses one
+fails CI rather than a 100-TB run."""
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "tpch_q6")
+    assert "PushedFilters" in p
+    # the date-range predicate must be in the parquet pushdown, not a
+    # post-scan filter only
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    # quantity bound pushes too
+    assert "LessThan(l_quantity" in p
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "tpch_q5")
+    # all four dimension joins broadcast; the fact-fact join may be
+    # broadcast at tiny SF, but there must be NO nested-loop join
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_per_stage_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "funnel_counts")
+    # each stage's event_type equality reaches its own scan
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in p, stage
+
+
+def test_pip_join_has_single_python_stage_and_no_point_shuffle(
+    spark, sf_dir
+):
+    p = _plan(spark, sf_dir, "pip_join")
+    # exactly two Arrow-batched Python evaluations in the full query:
+    # the GeoJSON span parse and the ray cast — nothing else leaves
+    # the JVM, and never row-at-a-time
+    assert p.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in p
+    # the polygon side broadcasts -> the point side never exchanges
+    assert "BroadcastHashJoin" in p
+
+
+def test_relational_aggregates_are_jvm_only(spark, sf_dir):
+    for name in ("tpch_q1", "tpch_q13", "tpch_q21", "revenue_pareto"):
+        p = _plan(spark, sf_dir, name)
+        assert "Python" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_grid_density_single_shuffle_jvm_only(spark, sf_dir):
+    # (AQE formatted plans don't print WholeStageCodegen spans before
+    # execution, so JVM-only-ness is asserted as no Python stages.)
+    p = _plan(spark, sf_dir, "grid_density")
+    assert "Python" not in p
+    # one corpus-spread exchange + ONE aggregate shuffle on cell_id —
+    # a third exchange would mean the map-side combine was lost.
+    # (formatted output lists each node twice — tree and detail —
+    # so count the "(n) Exchange" detail headers)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
