@@ -1018,6 +1018,21 @@ def _tpch_q21(spark, sf_dir):
                                          t["supplier"])
 
 
+def _basket_lift(spark, sf_dir):
+    """Market-basket part-pair lift (co*N/(cnt_a*cnt_b)), min-support
+    filtered, exact integer ratio parts, deterministic top-k."""
+    return relextmod.basket_lift(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _new_vs_returning(spark, sf_dir):
+    """Acquisition/retention split per exact integer month id."""
+    return relextmod.new_vs_returning(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def _tpch_q22(spark, sf_dir):
     """Dormant rich customers (TPC-H Q22 shape): above-average balance
     via exact bigint inequality + LEFT ANTI recent-orders join."""
@@ -1351,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _tpch_q20,
         "tpch_q21": _tpch_q21,
         "tpch_q22": _tpch_q22,
+        "basket_lift": _basket_lift,
+        "new_vs_returning": _new_vs_returning,
         "funnel_counts": _funnel_counts,
         "retention_cohorts": _retention_cohorts,
         "last_touch": _last_touch,
@@ -1885,6 +1902,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "tpch_q20": relextmod.SQL_DOMINANT_TYPE_SUPPLIERS,
         "tpch_q21": relextmod.SQL_SOLE_LATE_SUPPLIERS,
         "tpch_q22": relextmod.SQL_DORMANT_RICH_CUSTOMERS,
+        "basket_lift": relextmod.SQL_BASKET_LIFT,
+        "new_vs_returning": relextmod.SQL_NEW_VS_RETURNING,
         "funnel_counts": funnelmod.sql_funnel_counts(),
         "retention_cohorts": funnelmod.SQL_RETENTION_COHORTS,
         "last_touch": funnelmod.SQL_LAST_TOUCH_ATTRIBUTION,

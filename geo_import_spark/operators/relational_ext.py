@@ -1032,3 +1032,130 @@ WHERE bal_c > 0 AND bal_c * cnt_pos > sum_pos_c
       AND o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00')
 GROUP BY c_nationkey
 """
+
+
+# --- market-basket affinity ---------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOPK = 50
+
+
+def basket_lift(lineitem: DataFrame) -> DataFrame:
+    """Market-basket part-pair affinity: for part pairs co-occurring
+    in ≥ BASKET_MIN_SUPPORT orders, lift = P(a,b)/(P(a)·P(b)) =
+    co·N / (cnt_a·cnt_b) — exact integer numerator and denominator,
+    ONE double division, top-k by (lift, pair) with total tie-break.
+
+    Output: (part_a, part_b, co, cnt_a, cnt_b, lift).
+
+    Plan: distinct (order, part) first; the pair self-join keys on
+    orderkey (per-order fan-out bounded by order size); per-part
+    counts broadcast back onto the pair aggregate; N is a broadcast
+    1-row scalar.
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = op.select("ok").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a = op.select("ok", F.col("p").alias("part_a"))
+    b = op.select("ok", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= BASKET_MIN_SUPPORT)
+    )
+    cnt = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    ca = cnt.select(F.col("p").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = cnt.select(F.col("p").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "co", "cnt_a", "cnt_b",
+            ((F.col("co") * F.col("n_orders")).cast("double")
+             / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+             ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(BASKET_TOPK)
+    )
+
+
+SQL_BASKET_LIFT = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*) AS co
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+),
+cnt AS (SELECT p, count(*) AS cnt FROM op GROUP BY p)
+SELECT part_a, part_b, co, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       CAST(co * n_orders AS DOUBLE)
+         / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM pairs
+JOIN cnt ca ON ca.p = part_a
+JOIN cnt cb ON cb.p = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {BASKET_TOPK}
+"""
+
+
+# --- new vs returning customers per month -------------------------------------
+
+
+def new_vs_returning(orders: DataFrame) -> DataFrame:
+    """Per order-month: customers placing their FIRST-ever order vs
+    returning customers — the acquisition/retention split. Months are
+    exact integer month ids (year·12 + month−1) so bucketing is
+    engine-portable; "first" uses the customer's min (orderdate,
+    orderkey) so same-day first orders resolve deterministically.
+
+    Output: (month_id, new_customers, returning_customers).
+
+    Plan: per-customer first-order reduce (map-side combined on
+    custkey), then a month-sized aggregate; customers counted once
+    per month via pre-distinct (custkey, month).
+    """
+    o = orders.select(
+        "o_custkey",
+        (F.year(F.col("o_orderdate")) * 12
+         + F.month(F.col("o_orderdate")) - 1).cast("long").alias("month_id"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("month_id").alias("first_month"))
+    cm = o.distinct().join(first, "o_custkey")
+    return (
+        cm.groupBy("month_id")
+        .agg(
+            F.sum(F.when(F.col("month_id") == F.col("first_month"), 1)
+                  .otherwise(0)).cast("long").alias("new_customers"),
+            F.sum(F.when(F.col("month_id") == F.col("first_month"), 0)
+                  .otherwise(1)).cast("long").alias("returning_customers"),
+        )
+    )
+
+
+SQL_NEW_VS_RETURNING = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS month_id
+  FROM orders
+),
+first AS (SELECT o_custkey, min(month_id) AS first_month FROM o GROUP BY 1),
+cm AS (SELECT DISTINCT o_custkey, month_id FROM o)
+SELECT month_id,
+       CAST(SUM(CASE WHEN month_id = first_month THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_customers,
+       CAST(SUM(CASE WHEN month_id = first_month THEN 0 ELSE 1 END) AS BIGINT)
+         AS returning_customers
+FROM cm JOIN first USING (o_custkey)
+GROUP BY month_id
+"""
