@@ -540,3 +540,131 @@ class Table:
         if not keep:
             return self.read(spark).limit(0)
         return self._reader(spark, keep, snap.get("base_path"))
+
+    # -- bloom point-lookup index --------------------------------------------
+
+    BLOOM_BITS = 65536
+    BLOOM_HASHES = 4
+
+    def add_blooms(self, spark: SparkSession, cols: list[str],
+                   bits: int = BLOOM_BITS, hashes: int = BLOOM_HASHES) -> dict:
+        """Attach a per-file Bloom filter on each of `cols` to the
+        CURRENT snapshot (committed as a new snapshot with the same
+        file set — manifests stay immutable), enabling point-lookup
+        file skipping beyond min/max range pruning: a high-cardinality
+        key scattered across files defeats min/max, but its bloom
+        prunes to ~one file + false positives.
+
+        Bit positions are pmod(xxhash64(value, seed), bits) for
+        seeds 0..hashes-1 — computed by the JVM in ONE scan of the
+        file set grouped by input_file_name (never a per-file driver
+        loop), and recomputed identically (also JVM-side) at lookup,
+        so there is no cross-language hash-parity risk.
+        """
+        import base64
+
+        from pyspark.sql import functions as F
+
+        snap = self.current_snapshot()
+        files = [dict(f) for f in snap["files"]]
+        reader = self._reader(
+            spark, [f["path"] for f in files], snap.get("base_path")
+        )
+        for col in cols:
+            pos = F.explode(F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
+                for i in range(hashes)
+            ])).alias("pos")
+            rows = (
+                reader.select(F.input_file_name().alias("_file"), pos)
+                .groupBy("_file")
+                .agg(F.collect_set("pos").alias("ps"))
+                .collect()
+            )
+            from urllib.parse import unquote, urlparse
+
+            by_path = {
+                os.path.abspath(unquote(urlparse(r["_file"]).path)): r["ps"]
+                for r in rows
+            }
+            for f in files:
+                ps = by_path.get(os.path.abspath(f["path"]), [])
+                bm = bytearray(bits // 8)
+                for p in ps:
+                    bm[p >> 3] |= 1 << (p & 7)
+                f.setdefault("blooms", {})[col] = {
+                    "bits": bits,
+                    "hashes": hashes,
+                    "bitmap": base64.b64encode(bytes(bm)).decode(),
+                }
+        return self._write_snapshot(
+            snap["schema"], files, "overwrite", snap.get("properties"),
+            snap.get("base_path"),
+        )
+
+    def _col_type(self, col: str) -> str | None:
+        """The column's type string from the current snapshot schema."""
+        snap = self.current_snapshot()
+        for f in (snap.get("schema") or {}).get("fields", []):
+            if f["name"] == col and isinstance(f["type"], str):
+                return f["type"]
+        return None
+
+    def _lookup_positions(self, spark: SparkSession, col: str, value,
+                          bits: int, hashes: int) -> list[int]:
+        """The value's bloom bit positions, computed by the SAME JVM
+        hash used at build time (one 1-row local job — not a scan).
+        The literal is CAST to the column's schema type first:
+        xxhash64 is type-sensitive (an int literal and a bigint column
+        hash differently), and a mismatch would be a silent false
+        negative."""
+        from pyspark.sql import functions as F
+
+        lit = F.lit(value)
+        ctype = self._col_type(col)
+        if ctype:
+            lit = lit.cast(ctype)
+        row = spark.range(1).select(*[
+            F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits)).alias(f"p{i}")
+            for i in range(hashes)
+        ]).collect()[0]
+        return [row[f"p{i}"] for i in range(hashes)]
+
+    def lookup_files(self, spark: SparkSession, col: str, value) -> list[str]:
+        """Candidate files for `col = value` under the current
+        snapshot's blooms: a file survives iff ALL of the value's bit
+        positions are set (or it carries no bloom — never skip
+        unindexed data)."""
+        import base64
+
+        snap = self.current_snapshot()
+        keep = []
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+        for f in snap["files"]:
+            b = (f.get("blooms") or {}).get(col)
+            if not b:
+                keep.append(f["path"])
+                continue
+            key = (b["bits"], b["hashes"])
+            if key not in pos_cache:
+                pos_cache[key] = self._lookup_positions(
+                    spark, col, value, b["bits"], b["hashes"]
+                )
+            bm = base64.b64decode(b["bitmap"])
+            if all(bm[p >> 3] & (1 << (p & 7)) for p in pos_cache[key]):
+                keep.append(f["path"])
+        return keep
+
+    def read_lookup(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Point lookup `col = value` reading only bloom-surviving
+        files (plus the exact filter — blooms admit false positives,
+        never false negatives)."""
+        from pyspark.sql import functions as F
+
+        keep = self.lookup_files(spark, col, value)
+        if not keep:
+            return self.read(spark).limit(0)
+        snap = self.current_snapshot()
+        return self._reader(spark, keep, snap.get("base_path")).filter(
+            F.col(col) == F.lit(value)
+        )
