@@ -1156,6 +1156,12 @@ def _decayed_revenue(spark, sf_dir):
     )
 
 
+def _cohort_conversion(spark, sf_dir):
+    """Cohort-week signup → purchase conversion (exact counts, one
+    final division), two per-user aggregates on one exchange."""
+    return funnelmod.cohort_conversion(_events(spark, sf_dir))
+
+
 def _morans_i(spark, sf_dir):
     """Global Moran's I of the density grid (rook adjacency over
     occupied cells) — exact integer num/den, one double at the end."""
@@ -1372,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "last_touch": _last_touch,
         "event_transitions": _event_transitions,
+        "cohort_conversion": _cohort_conversion,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
         "hausdorff": _hausdorff,
@@ -1908,6 +1915,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "retention_cohorts": funnelmod.SQL_RETENTION_COHORTS,
         "last_touch": funnelmod.SQL_LAST_TOUCH_ATTRIBUTION,
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
+        "cohort_conversion": funnelmod.SQL_COHORT_CONVERSION,
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
         "hausdorff": geodist.sql_hausdorff(SQL_POINTS, SQL_POLYGONS),

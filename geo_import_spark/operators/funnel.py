@@ -265,3 +265,72 @@ SELECT prev_type, event_type AS next_type, count(*) AS n
 FROM e WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 """
+
+
+def cohort_conversion(events: DataFrame) -> DataFrame:
+    """Cohort × funnel composite: users cohorted by the epoch-week of
+    their FIRST signup, with the fraction that purchased strictly
+    after it. Counts are exact; the rate is one double division.
+
+    Output: (cohort_week, n_users, n_converted, conversion).
+
+    Plan: two per-user aggregates (first signup, purchase-after
+    existence) sharing the user_id exchange, then a cohort-week-sized
+    aggregate.
+    """
+    e = events.select("user_id", "event_type", _us().alias("us"))
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    purchased = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("us") > F.col("signup_us"))
+        .select("user_id").distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cohorts = first_signup.select(
+        "user_id",
+        F.expr(f"signup_us div {US_PER_DAY} div 7").alias("cohort_week"),
+    ).join(purchased.select("user_id", "converted"), "user_id", "left")
+    return (
+        cohorts.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        )
+        .select(
+            "cohort_week", "n_users", "n_converted",
+            (F.col("n_converted").cast("double")
+             / F.col("n_users").cast("double")).alias("conversion"),
+        )
+    )
+
+
+SQL_COHORT_CONVERSION = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+first_signup AS (
+  SELECT user_id, min(us) AS signup_us FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+purchased AS (
+  SELECT DISTINCT e.user_id, 1 AS converted
+  FROM e JOIN first_signup USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > signup_us
+),
+cohorts AS (
+  SELECT f.user_id,
+         CAST(signup_us // 86400000000 AS BIGINT) // 7 AS cohort_week,
+         COALESCE(p.converted, 0) AS converted
+  FROM first_signup f LEFT JOIN purchased p ON f.user_id = p.user_id
+)
+SELECT cohort_week, count(*) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS conversion
+FROM cohorts GROUP BY cohort_week
+"""
