@@ -1162,6 +1162,11 @@ def _cohort_conversion(spark, sf_dir):
     return funnelmod.cohort_conversion(_events(spark, sf_dir))
 
 
+def _conversion_lag(spark, sf_dir):
+    """Exact order-statistic quantiles of the signup→purchase lag."""
+    return funnelmod.conversion_lag_quantiles(_events(spark, sf_dir))
+
+
 def _morans_i(spark, sf_dir):
     """Global Moran's I of the density grid (rook adjacency over
     occupied cells) — exact integer num/den, one double at the end."""
@@ -1379,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch": _last_touch,
         "event_transitions": _event_transitions,
         "cohort_conversion": _cohort_conversion,
+        "conversion_lag": _conversion_lag,
         "morans_i": _morans_i,
         "pair_counts": _pair_counts,
         "hausdorff": _hausdorff,
@@ -1916,6 +1922,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "last_touch": funnelmod.SQL_LAST_TOUCH_ATTRIBUTION,
         "event_transitions": funnelmod.SQL_EVENT_TRANSITIONS,
         "cohort_conversion": funnelmod.SQL_COHORT_CONVERSION,
+        "conversion_lag": funnelmod.sql_conversion_lag_quantiles(),
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
         "hausdorff": geodist.sql_hausdorff(SQL_POINTS, SQL_POLYGONS),

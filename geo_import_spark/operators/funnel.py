@@ -334,3 +334,85 @@ SELECT cohort_week, count(*) AS n_users,
          AS conversion
 FROM cohorts GROUP BY cohort_week
 """
+
+
+LAG_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def conversion_lag_quantiles(
+    events: DataFrame,
+    quantiles: tuple[float, ...] = LAG_QUANTILES,
+) -> DataFrame:
+    """Exact order-statistic quantiles of the signup→purchase lag
+    (first purchase strictly after the first signup, per converted
+    user) — discrete/lower quantile at rank floor((n−1)·p)+1 with a
+    (lag, user_id) total order, the temporal.group_quantiles
+    discipline (deterministic, unlike interpolated percentiles).
+
+    Output (one row): (n, q50_us, q90_us, q99_us).
+
+    Plan: the two per-user reductions share the user_id exchange;
+    quantiles sort |converted users| reduced rows once.
+    """
+    from pyspark.sql import Window
+
+    e = events.select("user_id", "event_type", _us().alias("us"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("us").alias("s_us"))
+    )
+    lag = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("us") - F.col("s_us")).alias("lag_us"))
+    )
+    w = Window.orderBy("lag_us", "user_id")
+    ranked = (
+        lag.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(
+            Window.partitionBy(F.lit(1))))
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        rank = F.floor((F.col("n") - 1) * q) + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == rank, F.col("lag_us")))
+            .alias(f"q{int(q * 100)}_us")
+        )
+    return ranked.agg(*aggs)
+
+
+def sql_conversion_lag_quantiles(
+    quantiles: tuple[float, ...] = LAG_QUANTILES,
+) -> str:
+    q_cols = ",\n       ".join(
+        f"MAX(CASE WHEN rn = CAST(floor((n - 1) * {q}) AS BIGINT) + 1 "
+        f"THEN lag_us END) AS q{int(q * 100)}_us"
+        for q in quantiles
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+signup AS (
+  SELECT user_id, min(us) AS s_us FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+lag AS (
+  SELECT e.user_id, min(e.us - s_us) AS lag_us
+  FROM e JOIN signup USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > s_us
+  GROUP BY e.user_id
+),
+ranked AS (
+  SELECT lag_us,
+         row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM lag
+)
+SELECT MAX(n) AS n,
+       {q_cols}
+FROM ranked
+"""
