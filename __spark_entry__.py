@@ -1018,6 +1018,28 @@ def _tpch_q21(spark, sf_dir):
                                          t["supplier"])
 
 
+def _basket_triples(spark, sf_dir):
+    """Frequent part triples by co-order support (Apriori step 3)."""
+    return relextmod.basket_triples(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _ship_delay_histogram(spark, sf_dir):
+    """Order→ship latency histogram per priority, exact day buckets."""
+    return relextmod.ship_delay_histogram(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def _revenue_autocorr(spark, sf_dir):
+    """Lag-7 autocorrelation of daily revenue via exact moment sums."""
+    return statsmod.revenue_autocorr(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def _basket_lift(spark, sf_dir):
     """Market-basket part-pair lift (co*N/(cnt_a*cnt_b)), min-support
     filtered, exact integer ratio parts, deterministic top-k."""
@@ -1378,6 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": _tpch_q21,
         "tpch_q22": _tpch_q22,
         "basket_lift": _basket_lift,
+        "basket_triples": _basket_triples,
+        "ship_delay_histogram": _ship_delay_histogram,
+        "revenue_autocorr": _revenue_autocorr,
         "new_vs_returning": _new_vs_returning,
         "funnel_counts": _funnel_counts,
         "retention_cohorts": _retention_cohorts,
@@ -1916,6 +1941,9 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "tpch_q21": relextmod.SQL_SOLE_LATE_SUPPLIERS,
         "tpch_q22": relextmod.SQL_DORMANT_RICH_CUSTOMERS,
         "basket_lift": relextmod.SQL_BASKET_LIFT,
+        "basket_triples": relextmod.SQL_BASKET_TRIPLES,
+        "ship_delay_histogram": relextmod.SQL_SHIP_DELAY_HISTOGRAM,
+        "revenue_autocorr": statsmod.SQL_REVENUE_AUTOCORR,
         "new_vs_returning": relextmod.SQL_NEW_VS_RETURNING,
         "funnel_counts": funnelmod.sql_funnel_counts(),
         "retention_cohorts": funnelmod.SQL_RETENTION_COHORTS,

@@ -36,10 +36,11 @@ def hausdorff_to_centers(points: DataFrame, polygons: DataFrame) -> DataFrame:
     Output (one row): (n_points, n_centers, hausdorff_d2, worst_id) —
     worst_id = the doc number attaining the max (min doc id on ties).
     Distances are in the DOUBLED µdeg lattice (4× true µdeg²): the
-    box center is (min+max)/2, and halving an odd integer sum is
-    engine-divergent (Spark `div` truncates toward zero, DuckDB `//`
-    floors — they differ on negatives), so both sides double the
-    point coordinates instead and never divide.
+    box center is (min+max)/2, and halving an odd integer sum loses
+    the half-µdeg — doubling the point coordinates instead keeps the
+    center exact with no division at all. (Both engines' integer
+    division truncates toward zero identically — measured — so this
+    is about exactness of the center, not engine divergence.)
 
     Plan: centers derive from the polygon layer (dimension-sized) and
     BROADCAST; per-point minima are a map-side-combined aggregate on

@@ -1159,3 +1159,95 @@ SELECT month_id,
 FROM cm JOIN first USING (o_custkey)
 GROUP BY month_id
 """
+
+
+# --- frequent triples ---------------------------------------------------------
+
+TRIPLE_MIN_SUPPORT = 2
+TRIPLE_TOPK = 20
+
+
+def basket_triples(lineitem: DataFrame) -> DataFrame:
+    """Frequent part TRIPLES by co-order support — the Apriori step
+    after pairs: triples enumerate via two orderkey-keyed joins with
+    the a<b<c orientation (per-order fan-out C(k,3) with small k; no
+    part-level joins anywhere), top-k by (support, triple) total
+    order.
+
+    Output: (part_a, part_b, part_c, support).
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("ok", F.col("p").alias("part_a"))
+    b = op.select("ok", F.col("p").alias("part_b"))
+    c = op.select("ok", F.col("p").alias("part_c"))
+    return (
+        a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+        .join(c, "ok").filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+        .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+        .limit(TRIPLE_TOPK)
+    )
+
+
+SQL_BASKET_TRIPLES = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c, count(*) AS support
+FROM op a
+JOIN op b ON a.ok = b.ok AND a.p < b.p
+JOIN op c ON b.ok = c.ok AND b.p < c.p
+GROUP BY a.p, b.p, c.p
+HAVING count(*) >= {TRIPLE_MIN_SUPPORT}
+ORDER BY support DESC, part_a, part_b, part_c
+LIMIT {TRIPLE_TOPK}
+"""
+
+
+# --- ship-delay histogram -----------------------------------------------------
+
+DELAY_BUCKET_DAYS = 15
+
+
+def ship_delay_histogram(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Distribution of order→ship latency per priority: exact integer
+    day buckets (delay_days div 15) of every line item's shipdate
+    minus its order's date — the duration-histogram shape.
+
+    Output: (o_orderpriority, bucket, n_items).
+
+    Plan: one fact shuffle on orderkey, then a (priority × buckets)-
+    sized map-side-combined aggregate.
+    """
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == o.o_orderkey
+    )
+    delay = j.select(
+        "o_orderpriority",
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+         - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+         ).alias("delay_us"),
+    )
+    return (
+        delay.select(
+            "o_orderpriority",
+            F.expr(
+                f"delay_us div 86400000000 div {DELAY_BUCKET_DAYS}"
+            ).alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_SHIP_DELAY_HISTOGRAM = f"""
+SELECT o_orderpriority,
+       (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+         // 86400000000 // {DELAY_BUCKET_DAYS} AS bucket,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority, bucket
+"""

@@ -259,3 +259,86 @@ SELECT o_custkey,
             AS BIGINT) AS decayed_c
 FROM staged GROUP BY o_custkey
 """
+
+
+AUTOCORR_LAG_DAYS = 7
+
+
+def revenue_autocorr(orders: DataFrame,
+                     lag_days: int = AUTOCORR_LAG_DAYS) -> DataFrame:
+    """Lag-k autocorrelation of the daily revenue series: Pearson r
+    between day d's and day d+lag's revenue over all day pairs where
+    BOTH days have orders — the moment-sum discipline applied to a
+    keyed self-join of the daily aggregate (day ids are exact integer
+    epoch-day division; revenue is BIGINT cents; r is one closed-form
+    double).
+
+    Output (one row): (n_pairs, r).
+    """
+    daily = (
+        orders.select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+            _cents(F.col("o_totalprice")).alias("price_c"),
+        )
+        .groupBy("day")
+        # whole dollars, not cents: Σ(daily_cents)² overflows int64
+        # already at sf0.01 (daily sums ~1e8c squared × thousands of
+        # days); the exact `div 100` is mirrored in the oracle, and a
+        # constant rescale leaves Pearson r unchanged up to the
+        # dropped sub-dollar remainders. At much larger SF, raise the
+        # divisor (div 10000) the same way on both sides.
+        .agg(F.expr("sum(price_c) div 100").alias("rev_d"))
+    )
+    lead = daily.select(
+        (F.col("day") - lag_days).alias("day"),
+        F.col("rev_d").alias("rev_lead_d"),
+    )
+    pairs = daily.join(lead, "day").select(
+        F.col("rev_d").alias("x"), F.col("rev_lead_d").alias("y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return m.select(F.col("n").alias("n_pairs"), (num / den).alias("r"))
+
+
+SQL_REVENUE_AUTOCORR = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(SUM({SQL_CENTS.format(x='o_totalprice')}) // 100 AS BIGINT)
+           AS rev_d
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.rev_d AS x, b.rev_d AS y
+  FROM daily a JOIN daily b ON b.day = a.day + {AUTOCORR_LAG_DAYS}
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+FROM m
+"""
