@@ -62,14 +62,27 @@ def _ship_package(spark: SparkSession) -> None:
     equivalent of `spark-submit --py-files geo_import_spark.zip`).
     Without this, pandas UDFs that close over package functions fail
     with ModuleNotFoundError on any worker whose sys.path lacks the
-    repo root."""
+    repo root.
+
+    Shipped ONCE per SparkContext: getOrCreate() returns the live
+    session, and re-zipping on every get_spark() call re-adds a file
+    Spark compares byte-for-byte against the first copy — if the
+    package on disk changed meanwhile (an edit during a long test
+    run), every subsequent job dies with "exists and does not match
+    contents". The guard pins the session to the package snapshot it
+    started with, which is also the correct semantics: a running
+    cluster never hot-swaps its code."""
     import shutil
     import tempfile
 
     import geo_import_spark
 
+    sc = spark.sparkContext
+    if getattr(sc, "_geo_import_spark_shipped", False):
+        return
     pkg_dir = os.path.dirname(os.path.abspath(geo_import_spark.__file__))
     root = os.path.dirname(pkg_dir)
     base = os.path.join(tempfile.mkdtemp(prefix="geo_import_spark_py_"), "geo_import_spark")
     zip_path = shutil.make_archive(base, "zip", root_dir=root, base_dir="geo_import_spark")
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    sc._geo_import_spark_shipped = True
