@@ -179,7 +179,18 @@ def knn_join(
             )
         cand = cand.withColumn("dist", dist)
         w = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(point_key).asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # topk is TINY (≤ k rows per pending query) but expensive to
+        # compute (the ring join + window over the point table), and
+        # THREE consumers branch off it (settle aggregate, settled
+        # rows, pending anti-join). Materialize it once per round —
+        # without this the big join re-executes per branch (measured
+        # 2-3x the round wall at sf0.1, where every query settles in
+        # round one).
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
         # settled: kth neighbor provably closer than any point outside the
         # ring. Planar: outside => |dlon| or |dlat| >= (r-1)*sy degrees.
         # Haversine: the x-direction bound shrinks with cos(lat) near the
@@ -206,10 +217,14 @@ def knn_join(
             "query_id", point_key, "rank", "dist"
         )
         results = settled if results is None else results.unionByName(settled)
-        results = results.localCheckpoint(eager=True)  # truncate lineage per round
+        # settled derives from the materialized topk, so the union
+        # chain is shallow — a LAZY checkpoint still truncates lineage
+        # across rounds without spending an extra job per round.
+        results = results.localCheckpoint(eager=False)
         # pending MUST checkpoint too: a bare left_anti chain makes
         # round i recompute every earlier round's ring UDF + window
-        # (measured ~5x on the polar haversine path).
+        # (measured ~5x on the polar haversine path). Cheap now: its
+        # parents are the checkpointed topk and the prior pending.
         pending = pending.join(settled_ids, "query_id", "left_anti").localCheckpoint(
             eager=True
         )
