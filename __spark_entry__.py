@@ -44,6 +44,10 @@ from geo_import_spark.operators import statistics as statsmod
 from geo_import_spark.operators import timeseries as tsmod
 from geo_import_spark.operators import ranking as rankmod
 from geo_import_spark.operators import retrieval
+from geo_import_spark.operators.validation import (
+    sql_ring_orientation as _sql_ring_orientation,
+    sql_validate_rings as _sql_validate_rings,
+)
 from geo_import_spark.sources import geojson
 from geo_import_spark.streaming import events as eventsmod
 
@@ -141,6 +145,28 @@ def _dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_import_spark.operators import overlay as overlaymod
 
     return overlaymod.dissolve_area(corpus.polygons(spark, sf_dir))
+
+
+def _validate_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ring self-intersection verdict per polygon of the
+    validation layer (bowties invalid): non-adjacent edge pairs
+    tested with the integer CLRS predicate — one poly_id-keyed pair
+    join, fan-out bounded by the decoder vertex guard
+    (operators/validation.py)."""
+    from geo_import_spark.operators import validation
+
+    return validation.validate_rings(corpus.validation_polygons(spark, sf_dir))
+
+
+def _ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact signed shoelace (2x area, µdeg² BIGINT) per ring with
+    CCW / CW / degenerate classification — a symmetric bowtie cancels
+    to exactly 0 in integer arithmetic (operators/validation.py)."""
+    from geo_import_spark.operators import validation
+
+    return validation.ring_orientation(
+        corpus.validation_polygons(spark, sf_dir)
+    )
 
 
 def _overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_points": _parse_points,
         "pip_join": _pip_join,
         "pip_join_concave": _pip_join_concave,
+        "validate_rings": _validate_rings,
+        "ring_orientation": _ring_orientation,
         "geom_stats": _geom_stats,
         "overlay_area": _overlay_area,
         "dissolve_area": _dissolve_area,
@@ -1743,6 +1771,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_join": _SQL_PIP,
         "pip_join_concave": _SQL_PIP_CONCAVE,
+        "validate_rings": _sql_validate_rings(
+            corpus.SQL_VALIDATION_VERTICES
+        ),
+        "ring_orientation": _sql_ring_orientation(
+            corpus.SQL_VALIDATION_VERTICES
+        ),
         "geom_stats": _SQL_GEOM_STATS,
         "overlay_area": _SQL_OVERLAY,
         "dissolve_area": _SQL_DISSOLVE_AREA,

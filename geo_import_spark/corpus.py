@@ -232,6 +232,79 @@ def concave_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("geom", geom)
 
 
+N_VALIDATION_REPLICAS = 4
+
+
+def validation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-validation layer: nation x 4 -> 100 single-ring polygons,
+    a deterministic mix of shapes for the geometry-validation
+    operators (operators/validation.py):
+
+    - pk % 3 == 0: BOWTIE — the rectangle's four corners in crossing
+      order, so two non-adjacent edges properly intersect (invalid)
+      and the signed shoelace area is exactly 0 (the two triangles
+      cancel in integer arithmetic).
+    - else, pk % 5 == 0: the rectangle ring REVERSED (clockwise) —
+      valid but CW-oriented.
+    - else: the plain CCW rectangle (valid).
+    Half the non-reversed rings (pk % 2 == 0) carry a collinear
+    midpoint vertex on the bottom edge, so ring sizes vary (5 vs 6
+    vertices) and the operators can't hardcode quad geometry.
+
+    Corners ride the same EDGE_EPS off-grid lattice as the other
+    layers, so round(x*1e6) is tie-free in both engines.
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reps = spark.range(N_VALIDATION_REPLICAS).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    df = nation.crossJoin(reps).select(
+        (F.col("n_nationkey") * N_VALIDATION_REPLICAS + F.col("rep"))
+        .cast("long")
+        .alias("pk")
+    )
+    pk = F.col("pk")
+    cx = ((pk * 2654435761 + 303) % 320000000) / 1000000.0 - 160.0
+    cy = ((pk * 1779033703 + 999) % 140000000) / 1000000.0 - 70.0
+    w = (pk % 7).cast("double") * 2.0 + 5.0
+    h = (pk % 5).cast("double") * 2.0 + 4.0
+    df = df.select(
+        F.concat(F.lit("vpoly-"), pk.cast("string")).alias("poly_id"),
+        "pk",
+        (cx - w / 2.0 + EDGE_EPS).alias("x0"),
+        (cy - h / 2.0 + EDGE_EPS).alias("y0"),
+        (cx + w / 2.0 + EDGE_EPS).alias("x1"),
+        (cy + h / 2.0 + EDGE_EPS).alias("y1"),
+        (cx + EDGE_EPS).alias("xm"),
+    )
+    bowtie = pk % 3 == 0
+    rev = (pk % 3 != 0) & (pk % 5 == 0)
+    mid = pk % 2 == 0
+    x0, y0, x1, y1, xm = (F.col(c) for c in ("x0", "y0", "x1", "y1", "xm"))
+    xs = (
+        F.when(bowtie & mid, F.array(x0, xm, x1, x0, x1, x0))
+        .when(bowtie, F.array(x0, x1, x0, x1, x0))
+        .when(rev, F.array(x0, x0, x1, x1, x0))
+        .when(mid, F.array(x0, xm, x1, x1, x0, x0))
+        .otherwise(F.array(x0, x1, x1, x0, x0))
+    )
+    ys = (
+        F.when(bowtie & mid, F.array(y0, y0, y0, y1, y1, y0))
+        .when(bowtie, F.array(y0, y0, y1, y1, y0))
+        .when(rev, F.array(y0, y1, y1, y0, y0))
+        .when(mid, F.array(y0, y0, y0, y1, y1, y0))
+        .otherwise(F.array(y0, y0, y1, y1, y0))
+    )
+    geom = F.struct(
+        F.lit("Polygon").alias("gtype"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.array(F.lit(0), F.size(xs)).alias("ring_offsets"),
+        xs.alias("xs"),
+        ys.alias("ys"),
+    )
+    return df.select("poly_id", "pk", geom.alias("geom"))
+
+
 def knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN probes from customer: (query_id, qlon, qlat, k)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -296,6 +369,53 @@ SELECT 'lpoly-' || CAST(pk AS VARCHAR) AS poly_id,
        cx + {EDGE_EPS} AS xm,
        cy + {EDGE_EPS} AS ym
 FROM geo
+"""
+
+# Per-VERTEX rows of the validation layer (poly_id, j, vx, vy, n_v) —
+# the oracle's view of validation_polygons' rings. The vertex lists
+# are the SAME five CASE branches as the Spark arrays above, indexed
+# 1-based by DuckDB list subscripting; downstream oracles derive
+# edges with lead() and never see the generator's validity flags.
+SQL_VALIDATION_VERTICES = f"""
+WITH pkt AS (
+  SELECT (n_nationkey * {N_VALIDATION_REPLICAS} + rep) AS pk
+  FROM nation CROSS JOIN (SELECT UNNEST(range({N_VALIDATION_REPLICAS})) AS rep)
+), geo AS (
+  SELECT pk,
+         ((pk * 2654435761 + 303) % 320000000) / 1000000.0 - 160.0 AS cx,
+         ((pk * 1779033703 + 999) % 140000000) / 1000000.0 - 70.0 AS cy,
+         CAST(pk % 7 AS DOUBLE) * 2.0 + 5.0 AS w,
+         CAST(pk % 5 AS DOUBLE) * 2.0 + 4.0 AS h,
+         (pk % 3 = 0) AS bowtie,
+         (pk % 3 <> 0 AND pk % 5 = 0) AS rev,
+         (pk % 2 = 0) AS mid
+  FROM pkt
+), corner AS (
+  SELECT pk, bowtie, rev, mid,
+         cx - w / 2.0 + {EDGE_EPS} AS x0,
+         cy - h / 2.0 + {EDGE_EPS} AS y0,
+         cx + w / 2.0 + {EDGE_EPS} AS x1,
+         cy + h / 2.0 + {EDGE_EPS} AS y1,
+         cx + {EDGE_EPS} AS xm
+  FROM geo
+), rings AS (
+  SELECT pk,
+         CASE WHEN bowtie AND mid THEN [x0, xm, x1, x0, x1, x0]
+              WHEN bowtie THEN [x0, x1, x0, x1, x0]
+              WHEN rev THEN [x0, x0, x1, x1, x0]
+              WHEN mid THEN [x0, xm, x1, x1, x0, x0]
+              ELSE [x0, x1, x1, x0, x0] END AS xs,
+         CASE WHEN bowtie AND mid THEN [y0, y0, y0, y1, y1, y0]
+              WHEN bowtie THEN [y0, y0, y1, y1, y0]
+              WHEN rev THEN [y0, y1, y1, y0, y0]
+              WHEN mid THEN [y0, y0, y0, y1, y1, y0]
+              ELSE [y0, y0, y1, y1, y0] END AS ys
+  FROM corner
+)
+SELECT 'vpoly-' || CAST(pk AS VARCHAR) AS poly_id,
+       j, xs[j + 1] AS vx, ys[j + 1] AS vy, len(xs) AS n_v
+FROM rings CROSS JOIN (SELECT UNNEST(range(6)) AS j)
+WHERE j < len(xs)
 """
 
 # --- dirty text corpus (for the composed curation filter) ----------------------
