@@ -44,6 +44,7 @@ from geo_import_spark.operators import statistics as statsmod
 from geo_import_spark.operators import timeseries as tsmod
 from geo_import_spark.operators import ranking as rankmod
 from geo_import_spark.operators import retrieval
+from geo_import_spark.functions import hexgrid as _hexgrid
 from geo_import_spark.operators.validation import (
     sql_ring_orientation as _sql_ring_orientation,
     sql_validate_rings as _sql_validate_rings,
@@ -193,6 +194,26 @@ def _grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.documents(spark, sf_dir)
     pts = geojson.point_spans(docs)
     return tiling.grid_density(pts, level=GRID_LEVEL)
+
+
+def _hex_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hexagonal cell encode of every parsed point at res 7
+    and 9 (flat-top axial lattice, cube rounding) — pure JVM closed
+    form, zero shuffles (functions/hexgrid.py)."""
+    from geo_import_spark.functions import hexgrid
+
+    docs = corpus.documents(spark, sf_dir)
+    return hexgrid.hex_encode(geojson.point_spans(docs))
+
+
+def _hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell density at res 8 with decoded cell centers — one
+    map-side-combined shuffle on (hq, hr); the hexagonal twin of
+    grid_density (functions/hexgrid.py)."""
+    from geo_import_spark.functions import hexgrid
+
+    docs = corpus.documents(spark, sf_dir)
+    return hexgrid.hex_density(geojson.point_spans(docs), res=8)
 
 
 CONTOUR_LEVEL = 4
@@ -1322,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_area": _overlay_area,
         "dissolve_area": _dissolve_area,
         "grid_density": _grid_density,
+        "hex_encode": _hex_encode,
+        "hex_density": _hex_density,
         "density_contours": _density_contours,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
@@ -1781,6 +1804,8 @@ def oracle_sql() -> dict[str, str]:
         "overlay_area": _SQL_OVERLAY,
         "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,
+        "hex_encode": _hexgrid.sql_hex_encode(SQL_POINTS),
+        "hex_density": _hexgrid.sql_hex_density(SQL_POINTS, res=8),
         "density_contours": _SQL_DENSITY_CONTOURS,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})
