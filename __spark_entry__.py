@@ -216,6 +216,49 @@ def _hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hexgrid.hex_density(geojson.point_spans(docs), res=8)
 
 
+def _hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ring hotspot smoothing on the hex lattice: per-cell own
+    count + ring-1 neighborhood sum via a bounded 7-offset map-side
+    explode (no cell self-join; functions/hexgrid.py)."""
+    from geo_import_spark.functions import hexgrid
+
+    docs = corpus.documents(spark, sf_dir)
+    return hexgrid.hex_smooth(geojson.point_spans(docs), res=8, k=1)
+
+
+def _hex_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over occupied hex cells
+    (ring-1 binary weights, self included): exact BIGINT moments
+    (N, S1, S2, G_i, W_i) with ONE shared double expression for z —
+    even the doubles hash-match (operators/spatialstats.py)."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.hex_hotspots(geojson.point_spans(docs))
+
+
+def _pip_month_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal rollup: PIP hit counts per (polygon, exact
+    integer order-month) — the flagship join composed with the
+    calendar dimension; one doc-keyed join + one cell-sized
+    aggregate."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    hits = pipmod.pip_join(pts, polys).select("doc_id", "poly_id")
+    months = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("doc-"), F.col("o_orderkey").cast("string")).alias(
+            "doc_id"
+        ),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_id"),
+    )
+    return (
+        hits.join(months, "doc_id")
+        .groupBy("poly_id", "month_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 CONTOUR_LEVEL = 4
 CONTOUR_MIN_POINTS = 4
 
@@ -1345,6 +1388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density": _grid_density,
         "hex_encode": _hex_encode,
         "hex_density": _hex_density,
+        "hex_smooth": _hex_smooth,
+        "hex_hotspots": _hex_hotspots,
+        "pip_month_counts": _pip_month_counts,
         "density_contours": _density_contours,
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
@@ -1806,6 +1852,20 @@ def oracle_sql() -> dict[str, str]:
         "grid_density": _SQL_GRID_DENSITY,
         "hex_encode": _hexgrid.sql_hex_encode(SQL_POINTS),
         "hex_density": _hexgrid.sql_hex_density(SQL_POINTS, res=8),
+        "hex_smooth": _hexgrid.sql_hex_smooth(SQL_POINTS, res=8, k=1),
+        "hex_hotspots": spatialstats.sql_hex_hotspots(SQL_POINTS),
+        "pip_month_counts": f"""
+            WITH hits AS ({_SQL_PIP}),
+            om AS (
+              SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                          AS BIGINT) AS month_id
+              FROM orders
+            )
+            SELECT poly_id, month_id, COUNT(*) AS n_hits
+            FROM hits JOIN om USING (doc_id)
+            GROUP BY poly_id, month_id
+        """,
         "density_contours": _SQL_DENSITY_CONTOURS,
         "pip_counts": f"""
             WITH hits AS ({_SQL_PIP})

@@ -135,6 +135,75 @@ def hex_density(points: DataFrame, res: int = 8) -> DataFrame:
     )
 
 
+def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """Axial offsets of the hex k-ring disk (self included): all
+    (dq, dr) with max(|dq|, |dr|, |dq+dr|) <= k — 3k(k+1)+1 cells.
+    One literal list renders into BOTH the Spark plan and the oracle
+    SQL, so the neighborhoods cannot drift."""
+    return [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(-k, k + 1)
+        if max(abs(dq), abs(dr), abs(dq + dr)) <= k
+    ]
+
+
+def hex_smooth(points: DataFrame, res: int = 8, k: int = 1) -> DataFrame:
+    """(hq, hr, n_self, n_smooth): per-hex own count plus the k-ring
+    neighborhood sum — the hotspot-smoothing pass. Cells that are
+    empty but border occupied cells appear with n_self = 0.
+
+    Plan: ONE shuffle for the density aggregate, then a bounded
+    map-side explode of the 3k(k+1)+1 ring offsets and a second
+    map-side-combined aggregate on the shifted key — the standard
+    scalable stencil: no self-join of the cell table, no point-side
+    re-shuffle, contribution rows ~= cells x ring size.
+    """
+    dens = (
+        hex_cols(points, res).groupBy("hq", "hr").agg(F.count("*").alias("n"))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in kring_offsets(k)
+    ])
+    contrib = dens.select(
+        "hq", "hr", "n", F.explode(offs).alias("o")
+    ).select(
+        (F.col("hq") + F.col("o.dq")).alias("hq"),
+        (F.col("hr") + F.col("o.dr")).alias("hr"),
+        "n",
+        ((F.col("o.dq") == 0) & (F.col("o.dr") == 0)).alias("self"),
+    )
+    return contrib.groupBy("hq", "hr").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("self"), F.col("n"))), F.lit(0).cast("long")
+        ).alias("n_self"),
+        F.sum("n").alias("n_smooth"),
+    )
+
+
+def sql_hex_smooth(sql_points: str, res: int = 8, k: int = 1) -> str:
+    q, r = hex_qr_exprs("lon", "lat", size_for_res(res))
+    values = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(k))
+    return f"""
+WITH pts AS ({sql_points}),
+cells AS (
+  SELECT hq, hr, COUNT(*) AS n
+  FROM (SELECT {q} AS hq, {r} AS hr FROM pts) GROUP BY hq, hr
+),
+off(dq, dr) AS (VALUES {values}),
+contrib AS (
+  SELECT hq + dq AS hq, hr + dr AS hr, n,
+         (dq = 0 AND dr = 0) AS self
+  FROM cells CROSS JOIN off
+)
+SELECT hq, hr,
+       CAST(COALESCE(SUM(CASE WHEN self THEN n END), 0) AS BIGINT) AS n_self,
+       CAST(SUM(n) AS BIGINT) AS n_smooth
+FROM contrib GROUP BY hq, hr
+"""
+
+
 def sql_hex_encode(sql_points: str, res_list: tuple[int, ...] = (7, 9),
                    id_col: str = "doc_id") -> str:
     parts = []

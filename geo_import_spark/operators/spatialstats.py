@@ -217,3 +217,117 @@ SELECT radius_udeg, count(*) AS n_pairs
 FROM d2s JOIN radii ON d2 <= radius_udeg * radius_udeg
 GROUP BY radius_udeg
 """
+
+
+# --- Getis-Ord Gi* hotspot z-scores on the hex lattice --------------------------
+#
+# Gi* (Getis & Ord 1992, binary weights, self included) over the
+# OCCUPIED hex cells: the universe is the set of non-empty cells, a
+# cell's neighborhood is itself + its axial ring-1 neighbors that are
+# occupied, and
+#
+#   z_i = (G_i - mean * W_i) / (S * sqrt((N*W_i - W_i^2) / (N - 1)))
+#
+# with G_i = neighborhood count sum, W_i = neighborhood size, N the
+# number of occupied cells, mean = S1/N, S = sqrt(S2/N - mean^2).
+# Everything up to z is exact BIGINT (N, S1, S2, G_i, W_i); z itself
+# is ONE double expression template rendered identically for Spark
+# and DuckDB, so even the doubles hash-match. Cells where the
+# denominator degenerates (W_i = 0 never happens — self counts;
+# S = 0 or N < 2) yield NULL.
+#
+# Scale: density is one point shuffle; contributions explode the
+# 7-offset ring map-side and re-aggregate on the shifted key
+# (cell-sized); the occupied filter is an equi-join of two cell-sized
+# frames; the global (N, S1, S2) scalar broadcasts as a 1-row cross
+# join (the tpch_q11 pattern). No point-side re-shuffle, no self-join
+# of the point table.
+
+HOTSPOT_RES = 3  # 8-degree hexes: dense enough for variance at sf0.001
+
+
+def _z_expr(g: str, w: str, n: str, s1: str, s2: str) -> str:
+    """The Gi* z-score as one engine-shared double expression over
+    BIGINT columns."""
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    mean = f"({d(s1)} / {d(n)})"
+    var = f"({d(s2)} / {d(n)} - {mean} * {mean})"
+    num = f"({d(g)} - {mean} * {d(w)})"
+    den = (
+        f"(sqrt({var}) * sqrt(({d(n)} * {d(w)} - {d(w)} * {d(w)})"
+        f" / ({d(n)} - CAST(1.0 AS DOUBLE))))"
+    )
+    return (
+        f"CASE WHEN {n} > 1 AND {var} > CAST(0.0 AS DOUBLE)"
+        f" AND {n} > {w} THEN {num} / {den} ELSE NULL END"
+    )
+
+
+def hex_hotspots(points: DataFrame, res: int = HOTSPOT_RES) -> DataFrame:
+    """(hq, hr, n, w, g, z): per occupied hex cell its count, the
+    occupied-neighborhood size and count sum (ring 1, self included),
+    and the Gi* z-score (NULL when degenerate)."""
+    from geo_import_spark.functions import hexgrid
+
+    dens = (
+        hexgrid.hex_cols(points, res)
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in hexgrid.kring_offsets(1)
+    ])
+    contrib = dens.select(
+        "n", F.explode(offs).alias("o"),
+        (F.col("hq") + F.col("o.dq")).alias("thq"),
+        (F.col("hr") + F.col("o.dr")).alias("thr"),
+    ).select("thq", "thr", "n")
+    hood = contrib.groupBy("thq", "thr").agg(
+        F.sum("n").alias("g"), F.count("*").alias("w")
+    )
+    occupied = dens.join(
+        hood,
+        (dens.hq == hood.thq) & (dens.hr == hood.thr),
+    ).select("hq", "hr", "n", "w", "g")
+    stats = dens.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    z = _z_expr("g", "w", "n_cells", "s1", "s2")
+    return occupied.crossJoin(F.broadcast(stats)).select(
+        "hq", "hr", "n", "w", "g", F.expr(z).alias("z")
+    )
+
+
+def sql_hex_hotspots(sql_points: str, res: int = HOTSPOT_RES) -> str:
+    from geo_import_spark.functions import hexgrid
+
+    q, r = hexgrid.hex_qr_exprs("lon", "lat", hexgrid.size_for_res(res))
+    values = ", ".join(f"({dq}, {dr})" for dq, dr in hexgrid.kring_offsets(1))
+    z = _z_expr("g", "w", "n_cells", "s1", "s2")
+    return f"""
+WITH pts AS ({sql_points}),
+dens AS (
+  SELECT hq, hr, COUNT(*) AS n
+  FROM (SELECT {q} AS hq, {r} AS hr FROM pts) GROUP BY hq, hr
+),
+off(dq, dr) AS (VALUES {values}),
+hood AS (
+  SELECT hq + dq AS thq, hr + dr AS thr,
+         CAST(SUM(n) AS BIGINT) AS g, COUNT(*) AS w
+  FROM dens CROSS JOIN off GROUP BY 1, 2
+),
+occupied AS (
+  SELECT hq, hr, n, w, g
+  FROM dens JOIN hood ON hq = thq AND hr = thr
+),
+stats AS (
+  SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM dens
+)
+SELECT hq, hr, n, w, g, {z} AS z
+FROM occupied CROSS JOIN stats
+"""
