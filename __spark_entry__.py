@@ -45,6 +45,7 @@ from geo_import_spark.operators import timeseries as tsmod
 from geo_import_spark.operators import ranking as rankmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.functions import hexgrid as _hexgrid
+from geo_import_spark.functions import hilbert as _hilbert
 from geo_import_spark.operators.validation import (
     sql_ring_orientation as _sql_ring_orientation,
     sql_validate_rings as _sql_validate_rings,
@@ -224,6 +225,17 @@ def _hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus.documents(spark, sf_dir)
     return hexgrid.hex_smooth(geojson.point_spans(docs), res=8, k=1)
+
+
+def _hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve clustering key per point (1024x1024 grid):
+    BITS chained integer rotate/flip steps, zero shuffles, no UDF —
+    the write-clustering index with strictly better scan locality
+    than Z-order (functions/hilbert.py)."""
+    from geo_import_spark.functions import hilbert
+
+    docs = corpus.documents(spark, sf_dir)
+    return hilbert.hilbert_encode(geojson.point_spans(docs))
 
 
 def _hex_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": _hex_density,
         "hex_smooth": _hex_smooth,
         "hex_hotspots": _hex_hotspots,
+        "hilbert_encode": _hilbert_encode,
         "pip_month_counts": _pip_month_counts,
         "density_contours": _density_contours,
         "pip_counts": _pip_counts,
@@ -1854,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": _hexgrid.sql_hex_density(SQL_POINTS, res=8),
         "hex_smooth": _hexgrid.sql_hex_smooth(SQL_POINTS, res=8, k=1),
         "hex_hotspots": spatialstats.sql_hex_hotspots(SQL_POINTS),
+        "hilbert_encode": _hilbert.sql_hilbert(SQL_POINTS),
         "pip_month_counts": f"""
             WITH hits AS ({_SQL_PIP}),
             om AS (
