@@ -70,3 +70,51 @@ def test_encode_is_pure_jvm_map(spark):
     )
     plan = hilbert.hilbert_encode(pts)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_hilbert_sort_shrinks_per_file_extent(spark, tmp_path):
+    """The payoff of the clustering key: rewriting a hash-scattered
+    table sorted by hd makes every file spatially compact, so the
+    summed per-file bbox area collapses (this is what makes min/max
+    file stats selective for spatial predicates)."""
+    from geo_import_spark import corpus
+    from geo_import_spark.plans.table import Table
+    from geo_import_spark.sources import geojson
+
+    pts = hilbert.hilbert_cols(
+        geojson.point_spans(
+            corpus.documents(spark, "/root/testdata/sf0.001")
+        )
+    ).select("doc_id", "lon", "lat", "hd")
+
+    def per_file_area(paths):
+        df = spark.read.parquet(*paths)
+        rows = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("lon") - F.min("lon")).alias("w"),
+                (F.max("lat") - F.min("lat")).alias("h"),
+            )
+            .collect()
+        )
+        return sum(r.w * r.h for r in rows), len(rows)
+
+    t = Table(str(tmp_path / "tbl"))
+    # hash-scatter: every file spans the whole globe
+    t.commit(spark, pts.repartition(8, "doc_id"), stat_cols=["hd"])
+    files = [f["path"] for f in t.current_snapshot()["files"]]
+    area_scattered, n1 = per_file_area(files)
+
+    t.compact(
+        spark,
+        target_file_bytes=8 << 10,
+        small_file_bytes=1 << 30,
+        sort_by=["hd"],
+        stat_cols=["hd"],
+    )
+    files2 = [f["path"] for f in t.current_snapshot()["files"]]
+    area_sorted, n2 = per_file_area(files2)
+    assert n1 >= 4 and n2 >= 4
+    # scattered files each cover ~the full globe; hilbert-sorted files
+    # cover compact patches — at least a 3x total-extent collapse
+    assert area_sorted < area_scattered / 3, (area_sorted, area_scattered)
