@@ -178,3 +178,37 @@ def test_hex_hotspots_matches_python_reference(spark):
         else:
             assert r.z is None
     assert nontrivial > 0
+
+
+def test_streaming_hex_density_matches_batch(spark, sf_dir, tmp_path):
+    """The hex encode is a stateless JVM map, so it runs unchanged
+    under readStream; a complete-mode windowless aggregate reproduces
+    the batch density exactly."""
+    from geo_import_spark import corpus
+    from geo_import_spark.sources import geojson
+
+    pts = geojson.point_spans(corpus.documents(spark, sf_dir)).select(
+        "doc_id", "lon", "lat"
+    )
+    batch = {
+        (r.hq, r.hr): r.n for r in hexgrid.hex_density(pts, 8).collect()
+    }
+    src = str(tmp_path / "pts_src")
+    pts.write.parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    dens = hexgrid.hex_density(stream, 8)
+    assert dens.isStreaming
+    q = (
+        dens.writeStream.format("memory")
+        .queryName("stream_hex")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.hq, r.hr): r.n
+        for r in spark.sql("SELECT * FROM stream_hex").collect()
+    }
+    assert got == batch
