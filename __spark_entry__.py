@@ -46,6 +46,9 @@ from geo_import_spark.operators import ranking as rankmod
 from geo_import_spark.operators import retrieval
 from geo_import_spark.functions import hexgrid as _hexgrid
 from geo_import_spark.functions import hilbert as _hilbert
+from geo_import_spark.operators.spans import (
+    SQL_CAPTION_ALIGN as _SQL_CAPTION_ALIGN,
+)
 from geo_import_spark.operators.validation import (
     sql_ring_orientation as _sql_ring_orientation,
     sql_validate_rings as _sql_validate_rings,
@@ -438,6 +441,15 @@ def _span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_import_spark.operators import spans as spansmod
 
     return spansmod.span_fingerprint(corpus.documents(spark, sf_dir))
+
+
+def _caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal caption alignment: each media span paired with its
+    nearest preceding (and following) text span via one doc_id window
+    pass over the offset-ordered spans (operators/spans.py)."""
+    from geo_import_spark.operators import spans as spansmod
+
+    return spansmod.caption_align(corpus.documents(spark, sf_dir))
 
 
 def _hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,
+        "caption_align": _caption_align,
         "span_roundtrip": _span_roundtrip,
         "hot_cells": _hot_cells,
         "knn_classify": _knn_classify,
@@ -1914,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "span_roundtrip": _SQL_SPAN_ROUNDTRIP,
+        "caption_align": _SQL_CAPTION_ALIGN,
         "hot_cells": _SQL_HOT_CELLS,
         "knn_classify": similarity.SQL_KNN_CLASSIFY.format(
             n_queries=ANN_QUERIES, k_plus_1=11

@@ -76,3 +76,61 @@ def span_fingerprint(documents: DataFrame) -> DataFrame:
         F.size("spans").cast("int").alias("n_spans"),
         F.md5(seq).alias("fp"),
     )
+
+
+def caption_align(documents: DataFrame) -> DataFrame:
+    """Multimodal caption alignment over interleaved spans: pair every
+    media span with its nearest PRECEDING text span (the standard
+    caption heuristic for interleaved web documents) and, for context,
+    the nearest following one.
+
+    Output: (doc_id, media_ref, media_offset, prev_text, next_text) —
+    one row per media span; prev/next are NULL when no text span
+    exists on that side.
+
+    Plan: explode spans (map-side), then ONE doc_id shuffle feeding a
+    single window sort that serves both the backward `last(ignore
+    nulls)` and the forward `first(ignore nulls)` frame — the
+    interleaved-document twin of the as-of join (temporal.py). Spans
+    order by their STORED offset, not array position, per the
+    north-rule sequence invariant.
+    """
+    from pyspark.sql import Window
+
+    s = documents.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("media_offset"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("media_offset")
+    text_only = F.when(F.col("kind") == "text", F.col("text"))
+    prev_t = F.last(text_only, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_t = F.first(text_only, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        s.withColumns({"prev_text": prev_t, "next_text": next_t})
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "media_ref", "media_offset", "prev_text",
+                "next_text")
+    )
+
+
+# Oracle: the corpus generator's closed form (corpus.documents span
+# layout) — media spans exist for even keys at offset 2, always
+# preceded by the order-text span and followed by the priority text
+# span iff the key is also divisible by 3.
+SQL_CAPTION_ALIGN = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       'media://' || CAST((o_orderkey * 1103515245 + 12345) % 4294967296
+                          AS VARCHAR) AS media_ref,
+       CAST(2 AS INTEGER) AS media_offset,
+       'order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus
+         AS prev_text,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS next_text
+FROM orders WHERE o_orderkey % 2 = 0
+"""
