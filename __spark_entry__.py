@@ -143,6 +143,18 @@ def _pip_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipmod.pip_join(pts, lpolys).select("doc_id", "poly_id")
 
 
+def _pip_join_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ray-cast PIP against the HOLED layer (shell + centered
+    hole, ring_offsets [0,5,10]): the shell bbox covers the hole, so
+    bbox-passing candidates inside the hole are rejected only by the
+    even-odd multi-ring ray cast — the oracle (inside outer AND NOT
+    inside inner) hash-verifies that rejection end-to-end."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    hpolys = corpus.holed_polygons(spark, sf_dir)
+    return pipmod.pip_join(pts, hpolys).select("doc_id", "poly_id")
+
+
 def _dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-layer union (dissolve) area: x-slab decomposition +
     y-interval gaps-and-islands, exact BIGINT on the half-micro
@@ -1404,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_points": _parse_points,
         "pip_join": _pip_join,
         "pip_join_concave": _pip_join_concave,
+        "pip_join_holes": _pip_join_holes,
         "validate_rings": _validate_rings,
         "ring_orientation": _ring_orientation,
         "geom_stats": _geom_stats,
@@ -1631,6 +1644,18 @@ SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
 FROM pts p JOIN lpolys g
   ON (p.lon > g.x0 AND p.lon < g.x1 AND p.lat > g.y0 AND p.lat < g.ym)
   OR (p.lon > g.x0 AND p.lon < g.xm AND p.lat > g.ym AND p.lat < g.y1)
+"""
+
+# Holed oracle: the even-odd verdict for a shell with one centered
+# rectangular hole is `inside shell AND NOT inside hole` — both are
+# strict bbox tests in SQL, while the Spark side decides via the
+# multi-ring ray cast over ring_offsets [0, 5, 10].
+_SQL_PIP_HOLES = f"""
+WITH {_PTS}, hpolys AS ({corpus.SQL_HOLED_POLYGONS})
+SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
+FROM pts p JOIN hpolys g
+  ON p.lon > g.x0 AND p.lon < g.x1 AND p.lat > g.y0 AND p.lat < g.y1
+ AND NOT (p.lon > g.ix0 AND p.lon < g.ix1 AND p.lat > g.iy0 AND p.lat < g.iy1)
 """
 
 # grid_density mirror: the same clamp/floor grid arithmetic as the JVM
@@ -1866,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_join": _SQL_PIP,
         "pip_join_concave": _SQL_PIP_CONCAVE,
+        "pip_join_holes": _SQL_PIP_HOLES,
         "validate_rings": _sql_validate_rings(
             corpus.SQL_VALIDATION_VERTICES
         ),

@@ -232,6 +232,85 @@ def concave_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("geom", geom)
 
 
+N_HOLED_REPLICAS = 2
+
+
+def holed_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holed polygon layer: nation x 2 -> 50 rectangles each with a
+    centered rectangular HOLE (half the width/height). Containment
+    under the even-odd ray cast is `inside outer AND NOT inside
+    inner`, which is exactly what the DuckDB oracle states — so this
+    layer gives the multi-ring path of the PIP kernel a hash-checked
+    end-to-end CORRECTNESS row (the ray cast must reject bbox-passing
+    candidates that fall in the hole).
+
+    geom: ring_offsets [0, 5, 10] — shell (CCW) then hole (CW, the
+    conventional winding; the even-odd verdict is orientation-free).
+    All bounds ride the EDGE_EPS off-grid lattice (tie-free).
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reps = spark.range(N_HOLED_REPLICAS).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    df = nation.crossJoin(reps).select(
+        (F.col("n_nationkey") * N_HOLED_REPLICAS + F.col("rep"))
+        .cast("long")
+        .alias("pk")
+    )
+    pk = F.col("pk")
+    cx = ((pk * 2654435761 + 707) % 300000000) / 1000000.0 - 150.0
+    cy = ((pk * 1779033703 + 313) % 120000000) / 1000000.0 - 60.0
+    w = (pk % 7).cast("double") * 3.0 + 8.0
+    h = (pk % 5).cast("double") * 3.0 + 6.0
+    df = df.select(
+        F.concat(F.lit("hpoly-"), pk.cast("string")).alias("poly_id"),
+        pk,
+        (cx - w / 2.0 + EDGE_EPS).alias("x0"),
+        (cy - h / 2.0 + EDGE_EPS).alias("y0"),
+        (cx + w / 2.0 + EDGE_EPS).alias("x1"),
+        (cy + h / 2.0 + EDGE_EPS).alias("y1"),
+        (cx - w / 4.0 + EDGE_EPS).alias("ix0"),
+        (cy - h / 4.0 + EDGE_EPS).alias("iy0"),
+        (cx + w / 4.0 + EDGE_EPS).alias("ix1"),
+        (cy + h / 4.0 + EDGE_EPS).alias("iy1"),
+    )
+    x0, y0, x1, y1 = (F.col(c) for c in ("x0", "y0", "x1", "y1"))
+    ix0, iy0, ix1, iy1 = (F.col(c) for c in ("ix0", "iy0", "ix1", "iy1"))
+    geom = F.struct(
+        F.lit("Polygon").alias("gtype"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.array(F.lit(0), F.lit(5), F.lit(10)).alias("ring_offsets"),
+        F.array(x0, x1, x1, x0, x0, ix0, ix0, ix1, ix1, ix0).alias("xs"),
+        F.array(y0, y0, y1, y1, y0, iy0, iy1, iy1, iy0, iy0).alias("ys"),
+    )
+    return df.withColumn("geom", geom)
+
+
+SQL_HOLED_POLYGONS = f"""
+WITH pkt AS (
+  SELECT (n_nationkey * {N_HOLED_REPLICAS} + rep) AS pk
+  FROM nation CROSS JOIN (SELECT UNNEST(range({N_HOLED_REPLICAS})) AS rep)
+), geo AS (
+  SELECT pk,
+         ((pk * 2654435761 + 707) % 300000000) / 1000000.0 - 150.0 AS cx,
+         ((pk * 1779033703 + 313) % 120000000) / 1000000.0 - 60.0 AS cy,
+         CAST(pk % 7 AS DOUBLE) * 3.0 + 8.0 AS w,
+         CAST(pk % 5 AS DOUBLE) * 3.0 + 6.0 AS h
+  FROM pkt
+)
+SELECT 'hpoly-' || CAST(pk AS VARCHAR) AS poly_id,
+       cx - w / 2.0 + {EDGE_EPS} AS x0,
+       cy - h / 2.0 + {EDGE_EPS} AS y0,
+       cx + w / 2.0 + {EDGE_EPS} AS x1,
+       cy + h / 2.0 + {EDGE_EPS} AS y1,
+       cx - w / 4.0 + {EDGE_EPS} AS ix0,
+       cy - h / 4.0 + {EDGE_EPS} AS iy0,
+       cx + w / 4.0 + {EDGE_EPS} AS ix1,
+       cy + h / 4.0 + {EDGE_EPS} AS iy1
+FROM geo
+"""
+
+
 N_VALIDATION_REPLICAS = 4
 
 
