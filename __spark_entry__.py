@@ -155,6 +155,30 @@ def _pip_join_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipmod.pip_join(pts, hpolys).select("doc_id", "poly_id")
 
 
+def _pip_join_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PIP against the MULTIPART layer (two disjoint shells,
+    part_offsets [0,1,2]): the even-odd verdict across both rings is
+    `inside A OR inside B`; candidates in the gap between the parts
+    pass the global-bbox prefilter and are rejected only by the ray
+    cast — the oracle hash-verifies that path end-to-end."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    mpolys = corpus.multipart_polygons(spark, sf_dir)
+    return pipmod.pip_join(pts, mpolys).select("doc_id", "poly_id")
+
+
+def _pip_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI join: documents whose point falls in NO rectangle
+    polygon (the 'outside every service area' filter). One left_anti
+    shuffle on doc_id over the already-bucketed pip_join hits — the
+    canonical scale plan (no per-polygon re-test of the misses)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    polys = corpus.polygons(spark, sf_dir)
+    hits = pipmod.pip_join(pts, polys).select("doc_id").distinct()
+    return pts.select("doc_id").join(hits, "doc_id", "left_anti")
+
+
 def _dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-layer union (dissolve) area: x-slab decomposition +
     y-interval gaps-and-islands, exact BIGINT on the half-micro
@@ -1417,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _pip_join,
         "pip_join_concave": _pip_join_concave,
         "pip_join_holes": _pip_join_holes,
+        "pip_join_multipart": _pip_join_multipart,
+        "pip_anti_join": _pip_anti_join,
         "validate_rings": _validate_rings,
         "ring_orientation": _ring_orientation,
         "geom_stats": _geom_stats,
@@ -1658,6 +1684,27 @@ FROM pts p JOIN hpolys g
  AND NOT (p.lon > g.ix0 AND p.lon < g.ix1 AND p.lat > g.iy0 AND p.lat < g.iy1)
 """
 
+# Multipart oracle: two disjoint shells under even-odd = inside A OR
+# inside B (both strict bbox tests); the Spark side walks both rings
+# via part_offsets [0,1,2] in the ray cast.
+_SQL_PIP_MULTIPART = f"""
+WITH {_PTS}, mpolys AS ({corpus.SQL_MULTIPART_POLYGONS})
+SELECT p.doc_id AS doc_id, g.poly_id AS poly_id
+FROM pts p JOIN mpolys g
+  ON (p.lon > g.ax0 AND p.lon < g.ax1 AND p.lat > g.ay0 AND p.lat < g.ay1)
+  OR (p.lon > g.bx0 AND p.lon < g.bx1 AND p.lat > g.by0 AND p.lat < g.by1)
+"""
+
+_SQL_PIP_ANTI = f"""
+WITH {_PTS}, {_POLYS}
+SELECT p.doc_id AS doc_id
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM polys g
+  WHERE p.lon > g.minx AND p.lon < g.maxx AND p.lat > g.miny AND p.lat < g.maxy
+)
+"""
+
 # grid_density mirror: the same clamp/floor grid arithmetic as the JVM
 # cell_col (level << 58 | x << 29 | y as plain integer math) and the
 # same left-assoc double expressions for the cell bounds.
@@ -1892,6 +1939,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _SQL_PIP,
         "pip_join_concave": _SQL_PIP_CONCAVE,
         "pip_join_holes": _SQL_PIP_HOLES,
+        "pip_join_multipart": _SQL_PIP_MULTIPART,
+        "pip_anti_join": _SQL_PIP_ANTI,
         "validate_rings": _sql_validate_rings(
             corpus.SQL_VALIDATION_VERTICES
         ),

@@ -311,6 +311,86 @@ FROM geo
 """
 
 
+N_MULTIPART_REPLICAS = 2
+
+
+def multipart_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPolygon layer: nation x 2 -> 50 two-part geometries, each
+    two DISJOINT rectangles (the second translated right of the first
+    by a gap wider than either part). Containment under the even-odd
+    ray cast is `inside part A OR inside part B`, which is exactly the
+    DuckDB oracle — this gives `part_offsets > 1` its hash-checked
+    end-to-end CORRECTNESS row (holed covers multi-RING; this covers
+    multi-PART).
+
+    geom: part_offsets [0, 1, 2], ring_offsets [0, 5, 10] — one shell
+    per part. All bounds ride the EDGE_EPS off-grid lattice.
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reps = spark.range(N_MULTIPART_REPLICAS).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    df = nation.crossJoin(reps).select(
+        (F.col("n_nationkey") * N_MULTIPART_REPLICAS + F.col("rep"))
+        .cast("long")
+        .alias("pk")
+    )
+    pk = F.col("pk")
+    cx = ((pk * 2246822519 + 101) % 240000000) / 1000000.0 - 120.0
+    cy = ((pk * 3266489917 + 211) % 100000000) / 1000000.0 - 50.0
+    w = (pk % 6).cast("double") * 2.0 + 6.0
+    h = (pk % 4).cast("double") * 2.0 + 5.0
+    # part B sits 2*w to the right: a gap of w between the parts, so
+    # interiors are disjoint and no point can be in both.
+    df = df.select(
+        F.concat(F.lit("mpoly-"), pk.cast("string")).alias("poly_id"),
+        pk,
+        (cx - w / 2.0 + EDGE_EPS).alias("ax0"),
+        (cy - h / 2.0 + EDGE_EPS).alias("ay0"),
+        (cx + w / 2.0 + EDGE_EPS).alias("ax1"),
+        (cy + h / 2.0 + EDGE_EPS).alias("ay1"),
+        (cx + w * 1.5 + EDGE_EPS).alias("bx0"),
+        (cy - h / 2.0 + EDGE_EPS).alias("by0"),
+        (cx + w * 2.5 + EDGE_EPS).alias("bx1"),
+        (cy + h / 2.0 + EDGE_EPS).alias("by1"),
+    )
+    ax0, ay0, ax1, ay1 = (F.col(c) for c in ("ax0", "ay0", "ax1", "ay1"))
+    bx0, by0, bx1, by1 = (F.col(c) for c in ("bx0", "by0", "bx1", "by1"))
+    geom = F.struct(
+        F.lit("MultiPolygon").alias("gtype"),
+        F.array(F.lit(0), F.lit(1), F.lit(2)).alias("part_offsets"),
+        F.array(F.lit(0), F.lit(5), F.lit(10)).alias("ring_offsets"),
+        F.array(ax0, ax1, ax1, ax0, ax0, bx0, bx1, bx1, bx0, bx0).alias("xs"),
+        F.array(ay0, ay0, ay1, ay1, ay0, by0, by0, by1, by1, by0).alias("ys"),
+    )
+    return df.withColumn("geom", geom)
+
+
+SQL_MULTIPART_POLYGONS = f"""
+WITH pkt AS (
+  SELECT (n_nationkey * {N_MULTIPART_REPLICAS} + rep) AS pk
+  FROM nation CROSS JOIN (SELECT UNNEST(range({N_MULTIPART_REPLICAS})) AS rep)
+), geo AS (
+  SELECT pk,
+         ((pk * 2246822519 + 101) % 240000000) / 1000000.0 - 120.0 AS cx,
+         ((pk * 3266489917 + 211) % 100000000) / 1000000.0 - 50.0 AS cy,
+         CAST(pk % 6 AS DOUBLE) * 2.0 + 6.0 AS w,
+         CAST(pk % 4 AS DOUBLE) * 2.0 + 5.0 AS h
+  FROM pkt
+)
+SELECT 'mpoly-' || CAST(pk AS VARCHAR) AS poly_id,
+       cx - w / 2.0 + {EDGE_EPS} AS ax0,
+       cy - h / 2.0 + {EDGE_EPS} AS ay0,
+       cx + w / 2.0 + {EDGE_EPS} AS ax1,
+       cy + h / 2.0 + {EDGE_EPS} AS ay1,
+       cx + w * 1.5 + {EDGE_EPS} AS bx0,
+       cy - h / 2.0 + {EDGE_EPS} AS by0,
+       cx + w * 2.5 + {EDGE_EPS} AS bx1,
+       cy + h / 2.0 + {EDGE_EPS} AS by1
+FROM geo
+"""
+
+
 N_VALIDATION_REPLICAS = 4
 
 
