@@ -325,6 +325,16 @@ def _density_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW field interpolation of the numeric point attribute (a_num)
+    onto the level-6 grid: quantized-BIGINT weights, one map-side-
+    combined shuffle (operators/tiling.py idw_surface)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    val = F.get_json_object("properties", "$.a_num").cast("long")
+    return tiling.idw_surface(pts, val, level=GRID_LEVEL)
+
+
 def _geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar shoelace area / perimeter / centroid over both polygon
     layers — pure JVM array folds (operators/geomstats.py). The DuckDB
@@ -1449,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_area": _overlay_area,
         "dissolve_area": _dissolve_area,
         "grid_density": _grid_density,
+        "idw_surface": _idw_surface,
         "hex_encode": _hex_encode,
         "hex_density": _hex_density,
         "hex_smooth": _hex_smooth,
@@ -1705,6 +1716,42 @@ WHERE NOT EXISTS (
 )
 """
 
+# idw_surface mirror: identical clamp/floor cell assignment, identical
+# closed-form cell-center / distance / quantized-weight expressions
+# (the 1.0 + (dx2 + dy2) parenthesization matters — Spark builds that
+# tree, so the SQL must not left-associate), BIGINT sums (order-free),
+# one final division.
+_IDW_N = 1 << GRID_LEVEL
+_SQL_IDW = f"""
+WITH {_PTS}, g AS (
+  SELECT lon, lat, CAST(a_num AS BIGINT) AS v,
+         GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {_IDW_N}.0) AS BIGINT), {_IDW_N - 1}), 0) AS gx,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {_IDW_N}.0) AS BIGINT), {_IDW_N - 1}), 0) AS gy
+  FROM pts
+), c AS (
+  SELECT lon, lat, v, gx + dxs.dx AS x, gy + dys.dy AS y
+  FROM g
+  CROSS JOIN (SELECT UNNEST(range(-1, 2)) AS dx) dxs
+  CROSS JOIN (SELECT UNNEST(range(-1, 2)) AS dy) dys
+  WHERE gx + dxs.dx BETWEEN 0 AND {_IDW_N - 1}
+    AND gy + dys.dy BETWEEN 0 AND {_IDW_N - 1}
+), wtd AS (
+  SELECT x, y, v,
+         CAST(FLOOR(1000000000.0 / (1.0 + (
+             (lon - ((CAST(x AS DOUBLE) + 0.5) / {_IDW_N}.0 * 360.0 - 180.0))
+           * (lon - ((CAST(x AS DOUBLE) + 0.5) / {_IDW_N}.0 * 360.0 - 180.0))
+           + (lat - (90.0 - (CAST(y AS DOUBLE) + 0.5) / {_IDW_N}.0 * 180.0))
+           * (lat - (90.0 - (CAST(y AS DOUBLE) + 0.5) / {_IDW_N}.0 * 180.0))
+         ))) AS BIGINT) AS w
+  FROM c
+)
+SELECT x, y, CAST(SUM(w * v) AS BIGINT) AS swv, CAST(SUM(w) AS BIGINT) AS sw,
+       COUNT(*) AS n_pts,
+       CAST(CAST(SUM(w * v) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS idw_value
+FROM wtd GROUP BY x, y
+"""
+
 # grid_density mirror: the same clamp/floor grid arithmetic as the JVM
 # cell_col (level << 58 | x << 29 | y as plain integer math) and the
 # same left-assoc double expressions for the cell bounds.
@@ -1951,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_area": _SQL_OVERLAY,
         "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,
+        "idw_surface": _SQL_IDW,
         "hex_encode": _hexgrid.sql_hex_encode(SQL_POINTS),
         "hex_density": _hexgrid.sql_hex_density(SQL_POINTS, res=8),
         "hex_smooth": _hexgrid.sql_hex_smooth(SQL_POINTS, res=8, k=1),

@@ -369,3 +369,72 @@ def merge_density(old_agg: DataFrame, delta_agg: DataFrame) -> DataFrame:
         F.coalesce("lon_max", "d_lon_max").alias("lon_max"),
         F.coalesce("lat_max", "d_lat_max").alias("lat_max"),
     )
+
+
+IDW_W_SCALE = 1000000000.0  # weight quantizer: w = floor(SCALE/(1+d^2))
+
+
+def idw_surface(points: DataFrame, value, level: int = 6) -> DataFrame:
+    """Inverse-distance-weighted surface estimation: interpolate a
+    per-point value onto the quadtree grid (the raster-estimation
+    complement of grid_density — density counts points, IDW estimates
+    a field). Each point contributes to its own cell and the 8
+    neighbors; the estimate at a cell center is sum(w*v)/sum(w) with
+    w = floor(SCALE / (1 + d^2)), d = planar distance from the point
+    to the target cell center.
+
+    Exactness: weights are QUANTIZED to BIGINT before aggregation, so
+    both weighted sums are order-free exact integers and the single
+    final division is the only float op — the DuckDB mirror hashes
+    exactly. SCALE=1e9 keeps w*v far from BIGINT overflow while
+    resolving d^2 differences of ~1e-7 at level 6.
+
+    Scale: one bounded JVM explode (x9) then ONE shuffle keyed by
+    (x, y) with map-side partial aggregation — each input partition
+    ships at most 9*|occupied cells| rows. No window, no Python.
+    `value` is any integer-valued Column (cast to long here).
+    """
+    n = 1 << level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    base = points.select(
+        "lon", "lat", value.cast("long").alias("v"), gx.alias("gx"), gy.alias("gy")
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    cand = (
+        base.select("*", F.explode(offs).alias("o"))
+        .select(
+            "lon", "lat", "v",
+            (F.col("gx") + F.col("o.dx")).alias("x"),
+            (F.col("gy") + F.col("o.dy")).alias("y"),
+        )
+        .filter((F.col("x") >= 0) & (F.col("x") <= n - 1)
+                & (F.col("y") >= 0) & (F.col("y") <= n - 1))
+    )
+    cx = (F.col("x").cast("double") + 0.5) / F.lit(nf) * 360.0 - 180.0
+    cy = 90.0 - (F.col("y").cast("double") + 0.5) / F.lit(nf) * 180.0
+    d2 = (F.col("lon") - cx) * (F.col("lon") - cx) + (F.col("lat") - cy) * (F.col("lat") - cy)
+    w = F.floor(F.lit(IDW_W_SCALE) / (F.lit(1.0) + d2))
+    return (
+        cand.select("x", "y", "v", w.alias("w"))
+        .groupBy("x", "y")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("swv"),
+            F.sum("w").alias("sw"),
+            F.count("*").alias("n_pts"),
+        )
+        .select(
+            "x", "y", "swv", "sw", "n_pts",
+            (F.col("swv").cast("double") / F.col("sw").cast("double")).alias("idw_value"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""IDW surface interpolation (operators/tiling.py idw_surface):
+exact semantics on hand-built inputs plus the scale-critical plan
+shape. The driver oracle (``idw_surface``) pins the full closed-form
+weight arithmetic against DuckDB; these tests pin the *meaning*."""
+
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geo_import_spark.operators import tiling
+
+LEVEL = 6
+N = 1 << LEVEL
+
+
+def _cell_center(x, y):
+    nf = float(N)
+    return ((x + 0.5) / nf * 360.0 - 180.0, 90.0 - (y + 0.5) / nf * 180.0)
+
+
+def _surface(spark, rows):
+    pts = spark.createDataFrame([Row(lon=lo, lat=la, val=v) for lo, la, v in rows])
+    return tiling.idw_surface(pts, F.col("val"), level=LEVEL)
+
+
+def test_single_point_interpolates_exactly_to_its_value(spark):
+    """One point: every contributed cell's estimate is exactly v
+    ((w*v)/w with both sums < 2^53 — the division is exact)."""
+    lon, lat = _cell_center(10, 20)
+    out = _surface(spark, [(lon, lat, 7)]).collect()
+    # interior cell -> its own cell plus all 8 neighbors
+    assert len(out) == 9
+    assert {(r["x"], r["y"]) for r in out} == {
+        (10 + dx, 20 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    }
+    for r in out:
+        assert r["idw_value"] == 7.0
+        assert r["n_pts"] == 1
+
+
+def test_equidistant_points_average_and_near_point_dominates(spark):
+    cx, cy = _cell_center(32, 32)
+    step = 360.0 / N
+    # two points symmetric about the (32,32) center -> exact mean there
+    out = _surface(
+        spark, [(cx - step / 4, cy, 10), (cx + step / 4, cy, 20)]
+    ).collect()
+    center = next(r for r in out if (r["x"], r["y"]) == (32, 32))
+    assert center["idw_value"] == 15.0
+    assert center["n_pts"] == 2
+    # at the cell east of center the nearer (v=20) point dominates
+    east = next(r for r in out if (r["x"], r["y"]) == (33, 32))
+    assert 15.0 < east["idw_value"] < 20.0
+
+
+def test_corner_point_clamps_to_grid(spark):
+    """A point in the corner cell contributes to the 4 in-bounds
+    cells only — the neighbor explode must not emit x=-1/y=-1."""
+    lon, lat = _cell_center(0, 0)
+    out = _surface(spark, [(lon, lat, 3)]).collect()
+    assert {(r["x"], r["y"]) for r in out} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_idw_plan_is_jvm_only_single_aggregate_shuffle(spark, sf_dir):
+    import io
+    import contextlib
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["idw_surface"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue().split("InMemoryTableScan")[0]
+    assert "Python" not in p
+    # corpus-spread exchange + ONE aggregate shuffle on (x, y); a
+    # third exchange means the map-side combine was lost
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "HashAggregate" in p
