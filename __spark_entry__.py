@@ -335,6 +335,15 @@ def _idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.idw_surface(pts, val, level=GRID_LEVEL)
 
 
+def _sample_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<-vector read-back: each point annotated with its own
+    cell's density (bounded grid broadcast back; points never
+    shuffle — operators/tiling.py sample_density_at_points)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    return tiling.sample_density_at_points(pts, level=GRID_LEVEL)
+
+
 def _geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar shoelace area / perimeter / centroid over both polygon
     layers — pure JVM array folds (operators/geomstats.py). The DuckDB
@@ -1460,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_area": _dissolve_area,
         "grid_density": _grid_density,
         "idw_surface": _idw_surface,
+        "sample_density": _sample_density,
         "hex_encode": _hex_encode,
         "hex_density": _hex_density,
         "hex_smooth": _hex_smooth,
@@ -1752,6 +1762,19 @@ SELECT x, y, CAST(SUM(w * v) AS BIGINT) AS swv, CAST(SUM(w) AS BIGINT) AS sw,
 FROM wtd GROUP BY x, y
 """
 
+# sample_density mirror: identical clamp/floor cell assignment; the
+# per-cell count read back onto each point is a window in SQL.
+_SQL_SAMPLE_DENSITY = f"""
+WITH {_PTS}, c AS (
+  SELECT doc_id,
+         GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {_IDW_N}.0) AS BIGINT), {_IDW_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {_IDW_N}.0) AS BIGINT), {_IDW_N - 1}), 0) AS y
+  FROM pts
+)
+SELECT doc_id, x, y, COUNT(*) OVER (PARTITION BY x, y) AS cell_density
+FROM c
+"""
+
 # grid_density mirror: the same clamp/floor grid arithmetic as the JVM
 # cell_col (level << 58 | x << 29 | y as plain integer math) and the
 # same left-assoc double expressions for the cell bounds.
@@ -1999,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,
         "idw_surface": _SQL_IDW,
+        "sample_density": _SQL_SAMPLE_DENSITY,
         "hex_encode": _hexgrid.sql_hex_encode(SQL_POINTS),
         "hex_density": _hexgrid.sql_hex_density(SQL_POINTS, res=8),
         "hex_smooth": _hexgrid.sql_hex_smooth(SQL_POINTS, res=8, k=1),

@@ -438,3 +438,31 @@ def idw_surface(points: DataFrame, value, level: int = 6) -> DataFrame:
             (F.col("swv").cast("double") / F.col("sw").cast("double")).alias("idw_value"),
         )
     )
+
+
+def sample_density_at_points(points: DataFrame, level: int = 6) -> DataFrame:
+    """Raster sampling: annotate each point with the density of its
+    own grid cell (the vector<-raster read-back: classify points by
+    how crowded their neighborhood is — sampling weights, outlier
+    screens, stratified splits).
+
+    Scale: the density grid is BOUNDED (<= 4^level rows), so after the
+    one map-side-combined aggregation shuffle it broadcasts back onto
+    the point side — the points themselves NEVER shuffle. At level 6
+    that is <= 4096 rows against 10^12 points.
+    """
+    n = 1 << level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    cells = points.select("doc_id", gx.alias("x"), gy.alias("y"))
+    grid = cells.groupBy("x", "y").agg(F.count("*").alias("cell_density"))
+    return cells.join(F.broadcast(grid), ["x", "y"]).select(
+        "doc_id", "x", "y", "cell_density"
+    )

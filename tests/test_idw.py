@@ -63,6 +63,45 @@ def test_corner_point_clamps_to_grid(spark):
     assert {(r["x"], r["y"]) for r in out} == {(0, 0), (0, 1), (1, 0), (1, 1)}
 
 
+def test_sample_density_matches_groupby_counts(spark):
+    """Each point's annotated cell_density equals the count of points
+    sharing its cell."""
+    rows = [
+        ( -1.0,  1.0, 0), (-1.1, 1.1, 0), (-1.2, 0.9, 0),  # same cell
+        (100.0, 45.0, 0),                                   # lone cell
+    ]
+    pts = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", lon=lo, lat=la) for i, (lo, la, _) in enumerate(rows)]
+    )
+    out = {r["doc_id"]: r["cell_density"]
+           for r in tiling.sample_density_at_points(pts, level=LEVEL).collect()}
+    assert out == {"d0": 3, "d1": 3, "d2": 3, "d3": 1}
+
+
+def test_sample_density_points_never_shuffle(spark, sf_dir):
+    """The bounded grid broadcasts back onto the point side: the plan
+    must show a BroadcastHashJoin and at most 2 shuffle exchanges
+    (corpus spread + the map-side-combined cell aggregate)."""
+    import io
+    import contextlib
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sample_density"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue().split("InMemoryTableScan")[0]
+    assert "BroadcastHashJoin" in p
+    assert "Python" not in p
+    # both branches re-scan the corpus, so the round-robin spread
+    # exchange may appear twice — but only ONE hash-partitioned
+    # shuffle (the cell aggregate) is allowed: the point rows
+    # themselves must never hash-shuffle.
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+    assert len(re.findall(r"hashpartitioning\(x", p)) <= 1
+
+
 def test_idw_plan_is_jvm_only_single_aggregate_shuffle(spark, sf_dir):
     import io
     import contextlib
