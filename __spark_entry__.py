@@ -344,6 +344,17 @@ def _sample_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.sample_density_at_points(pts, level=GRID_LEVEL)
 
 
+def _dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D raster segmentation: 4-connected components over dense
+    level-4 grid cells (tiling.label_dense_regions; min-label
+    propagation mirrored by a DuckDB recursive CTE)."""
+    docs = corpus.documents(spark, sf_dir)
+    pts = geojson.point_spans(docs)
+    return tiling.label_dense_regions(
+        pts, level=CONTOUR_LEVEL, min_points=CONTOUR_MIN_POINTS
+    )
+
+
 def _geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar shoelace area / perimeter / centroid over both polygon
     layers — pure JVM array folds (operators/geomstats.py). The DuckDB
@@ -1470,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density": _grid_density,
         "idw_surface": _idw_surface,
         "sample_density": _sample_density,
+        "dense_regions": _dense_regions,
         "hex_encode": _hex_encode,
         "hex_density": _hex_density,
         "hex_smooth": _hex_smooth,
@@ -1775,6 +1787,40 @@ SELECT doc_id, x, y, COUNT(*) OVER (PARTITION BY x, y) AS cell_density
 FROM c
 """
 
+# dense_regions mirror: same cell assignment + density threshold;
+# 4-adjacency edges from two self-joins; the min-label fixpoint is a
+# recursive CTE (UNION walk) whose per-cell MIN(label) equals the
+# Spark side's converged cluster_rep.
+_CONTOUR_N = 1 << CONTOUR_LEVEL
+_SQL_DENSE_REGIONS = f"""
+WITH RECURSIVE pts AS ({SQL_POINTS}), d AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {_CONTOUR_N}.0) AS BIGINT), {_CONTOUR_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {_CONTOUR_N}.0) AS BIGINT), {_CONTOUR_N - 1}), 0) AS y,
+         COUNT(*) AS n_points
+  FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= {CONTOUR_MIN_POINTS}
+), cells AS (
+  SELECT x, y, n_points,
+         'c' || lpad(CAST(x AS VARCHAR), 3, '0') || lpad(CAST(y AS VARCHAR), 3, '0') AS cell
+  FROM d
+), e0 AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells a JOIN cells b ON b.x = a.x + 1 AND b.y = a.y
+  UNION ALL
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells a JOIN cells b ON b.x = a.x AND b.y = a.y + 1
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), walk(cell, label) AS (
+  SELECT cell, cell FROM cells
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.cell
+)
+SELECT c.x AS x, c.y AS y, c.n_points AS n_points,
+       MIN(w.label) AS region_id
+FROM cells c JOIN walk w ON w.cell = c.cell
+GROUP BY c.x, c.y, c.n_points
+"""
+
 # grid_density mirror: the same clamp/floor grid arithmetic as the JVM
 # cell_col (level << 58 | x << 29 | y as plain integer math) and the
 # same left-assoc double expressions for the cell bounds.
@@ -2023,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_density": _SQL_GRID_DENSITY,
         "idw_surface": _SQL_IDW,
         "sample_density": _SQL_SAMPLE_DENSITY,
+        "dense_regions": _SQL_DENSE_REGIONS,
         "hex_encode": _hexgrid.sql_hex_encode(SQL_POINTS),
         "hex_density": _hexgrid.sql_hex_density(SQL_POINTS, res=8),
         "hex_smooth": _hexgrid.sql_hex_smooth(SQL_POINTS, res=8, k=1),

@@ -466,3 +466,62 @@ def sample_density_at_points(points: DataFrame, level: int = 6) -> DataFrame:
     return cells.join(F.broadcast(grid), ["x", "y"]).select(
         "doc_id", "x", "y", "cell_density"
     )
+
+
+def label_dense_regions(
+    points: DataFrame, level: int = 4, min_points: int = 4, max_rounds: int = 64
+) -> DataFrame:
+    """2D raster segmentation: label maximal 4-connected regions of
+    dense grid cells (the DBSCAN-shaped completion of
+    density_contours, which only merges cells within one row). Output:
+    (x, y, n_points, region_id) per dense cell; region_id is the
+    lexicographic min of the region's zero-padded cell keys —
+    deterministic and engine-independent.
+
+    Plan: the density grid is BOUNDED (<= 4^level cells), so after the
+    one map-side-combined aggregation shuffle everything downstream —
+    the two adjacency self-joins and the min-label rounds — runs on a
+    grid-sized table, never on points. Components reuse
+    dedup.duplicate_clusters (iterative min-label propagation with
+    per-round lineage truncation); a level-l grid's worst-case region
+    diameter is 2*2^l, so max_rounds must be >= that (64 covers
+    level <= 5; raise it for finer grids).
+    """
+    from geo_import_spark.operators import dedup as dedupmod
+
+    n = 1 << level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    key = F.concat(
+        F.lit("c"),
+        F.lpad(F.col("x").cast("string"), 3, "0"),
+        F.lpad(F.col("y").cast("string"), 3, "0"),
+    )
+    dense = (
+        points.groupBy(gx.alias("x"), gy.alias("y"))
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= min_points)
+        .withColumn("cell", key)
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    right = a.join(
+        b, (F.col("b.x") == F.col("a.x") + 1) & (F.col("b.y") == F.col("a.y"))
+    ).select(F.col("a.cell").alias("doc_a"), F.col("b.cell").alias("doc_b"))
+    down = a.join(
+        b, (F.col("b.x") == F.col("a.x")) & (F.col("b.y") == F.col("a.y") + 1)
+    ).select(F.col("a.cell").alias("doc_a"), F.col("b.cell").alias("doc_b"))
+    labels = dedupmod.duplicate_clusters(
+        dense.select(F.col("cell").alias("doc_id")),
+        pairs=right.unionAll(down),
+        max_rounds=max_rounds,
+    )
+    return dense.join(labels, dense["cell"] == labels["doc_id"]).select(
+        "x", "y", "n_points", F.col("cluster_rep").alias("region_id")
+    )

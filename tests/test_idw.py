@@ -102,6 +102,42 @@ def test_sample_density_points_never_shuffle(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(x", p)) <= 1
 
 
+def _pts_in_cells(spark, cells, per_cell=2, level=4):
+    """per_cell points at each given (x, y) cell center."""
+    rows = []
+    n = 1 << level
+    nf = float(n)
+    for i, (x, y) in enumerate(cells):
+        lon = (x + 0.5) / nf * 360.0 - 180.0
+        lat = 90.0 - (y + 0.5) / nf * 180.0
+        for j in range(per_cell):
+            rows.append(Row(doc_id=f"d{i}-{j}", lon=lon, lat=lat))
+    return spark.createDataFrame(rows)
+
+
+def test_dense_regions_four_connectivity(spark):
+    """An L-shaped run of cells is ONE region (transitive across both
+    axes); a diagonal-only neighbor is a SEPARATE region (4-conn, not
+    8); a far-away cell is its own region; sparse cells are dropped."""
+    L = [(2, 2), (3, 2), (4, 2), (4, 3), (4, 4)]  # L-shape
+    diag = [(5, 5)]          # touches (4,4) only diagonally
+    lone = [(10, 10)]
+    pts = _pts_in_cells(spark, L + diag + lone, per_cell=2)
+    # one sparse cell below threshold
+    sparse = _pts_in_cells(spark, [(0, 0)], per_cell=1)
+    out = tiling.label_dense_regions(
+        pts.unionByName(sparse), level=4, min_points=2
+    ).collect()
+    regions = {(r["x"], r["y"]): r["region_id"] for r in out}
+    assert (0, 0) not in regions                       # sparse dropped
+    assert len({regions[c] for c in L}) == 1           # L is one region
+    assert regions[(5, 5)] != regions[(4, 4)]          # no 8-connectivity
+    assert regions[(10, 10)] not in {regions[(4, 4)], regions[(5, 5)]}
+    # region id = lexicographic min zero-padded cell key of the region
+    assert regions[(2, 2)] == "c002002"
+    assert regions[(5, 5)] == "c005005"
+
+
 def test_idw_plan_is_jvm_only_single_aggregate_shuffle(spark, sf_dir):
     import io
     import contextlib
