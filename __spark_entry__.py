@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from geo_import_spark import corpus
 from geo_import_spark.corpus import SQL_CONCAVE_POLYGONS, SQL_POINTS, SQL_POLYGONS
 from geo_import_spark.operators import dedup as dedupmod
+from geo_import_spark.operators import geomops as geomopsmod
 from geo_import_spark.operators import knn as knnmod
 from geo_import_spark.operators import graph as graphmod
 from geo_import_spark.operators import linejoin
@@ -426,32 +427,64 @@ def _radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convex hull per pseudo-layer (a_string) over the parsed point
-    spans — two-level mergeable hull aggregate (operators/geomops.py).
-    Iterative geometry: no SQL oracle (driver records the rows-only
-    check); correctness is pinned by tests/test_geomops.py properties."""
+    spans — two-level mergeable hull aggregate (operators/geomops.py)
+    on exact µdeg-int64 coordinates, hash-checked against the
+    non-recursive edge-counting DuckDB mirror (geomops.sql_convex_hull;
+    VERDICT r3 #1). area2_u = |Σ x_j·y_{j+1} − x_{j+1}·y_j| in µdeg²
+    — an order-free exact BIGINT, identical however the two engines
+    order the ring."""
     from geo_import_spark.operators import geomops
 
-    pts = _parse_points(spark, sf_dir).withColumn(
-        "layer_id", F.get_json_object("properties", "$.a_string")
+    pts = _parse_points(spark, sf_dir).select(
+        F.get_json_object("properties", "$.a_string").alias("layer_id"),
+        # same quantization expression as the oracle: FLOOR(v*1e6+0.5)
+        F.floor(F.col("lon") * 1000000.0 + F.lit(0.5)).cast("double").alias("lon"),
+        F.floor(F.col("lat") * 1000000.0 + F.lit(0.5)).cast("double").alias("lat"),
     )
-    return geomops.convex_hull(pts).select(
-        "layer_id", "n_hull", "hull_area"
+    h = geomops.convex_hull(pts).select(
+        "layer_id",
+        F.col("n_hull").cast("long").alias("n_hull"),
+        F.transform("hull_xs", lambda v: v.cast("long")).alias("xi"),
+        F.transform("hull_ys", lambda v: v.cast("long")).alias("yi"),
     )
+    n = F.size("xi")
+    area2 = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(F.col("xi"), j + 1)
+        * F.element_at(F.col("yi"), (j + 1) % n + 1)
+        - F.element_at(F.col("xi"), (j + 1) % n + 1)
+        * F.element_at(F.col("yi"), j + 1),
+    )
+    return h.select("layer_id", "n_hull", F.abs(area2).alias("area2_u"))
 
 
 def _simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Douglas–Peucker simplification of the polygon rings taken as
-    polylines (iterative — rows-only check; semantics pinned by
-    tests/test_geomops.py)."""
+    """Douglas–Peucker over the densified 7-vertex rectangle ring
+    (edge midpoints inserted so DP actually DROPS vertices: 7 → 5),
+    hash-checked against the recursive-CTE split mirror
+    (geomops.sql_simplify_ring7; VERDICT r3 #1)."""
     from geo_import_spark.operators import geomops
 
-    lines = corpus.polygons(spark, sf_dir).select(
+    polys = corpus.polygons(spark, sf_dir)
+    midx = (F.col("minx") + F.col("maxx")) / 2.0
+    midy = (F.col("miny") + F.col("maxy")) / 2.0
+    lines = polys.select(
         F.col("poly_id").alias("line_id"),
-        F.col("geom.xs").alias("xs"),
-        F.col("geom.ys").alias("ys"),
+        F.array(
+            F.col("minx"), midx, F.col("maxx"), F.col("maxx"),
+            F.col("maxx"), F.col("minx"), F.col("minx"),
+        ).alias("xs"),
+        F.array(
+            F.col("miny"), F.col("miny"), F.col("miny"), midy,
+            F.col("maxy"), F.col("maxy"), F.col("miny"),
+        ).alias("ys"),
     )
-    return geomops.simplify_lines(lines, epsilon=1e-9).select(
-        "line_id", "n_in", "n_out"
+    return geomops.simplify_lines(lines, epsilon=geomops.SIMPLIFY_EPS).select(
+        "line_id",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
     )
 
 
@@ -2064,6 +2097,8 @@ def oracle_sql() -> dict[str, str]:
             corpus.SQL_VALIDATION_VERTICES
         ),
         "geom_stats": _SQL_GEOM_STATS,
+        "convex_hull": geomopsmod.sql_convex_hull(SQL_POINTS),
+        "simplify_lines": geomopsmod.sql_simplify_ring7(SQL_POLYGONS),
         "overlay_area": _SQL_OVERLAY,
         "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,

@@ -15,11 +15,25 @@ carries only hull VERTICES (bounded by the partial hulls' sizes, not
 the point count) — the same partial-aggregate shape as a map-side
 combine.
 
-These have no SQL mirror (recursive/iterative — the class the driver
-contract exempts from oracle_sql); correctness is pinned by property
-tests (tests/test_geomops.py): every input point lies inside the
-hull, hull vertices are input points, DP keeps endpoints and is
-idempotent, epsilon=0 only drops exactly-collinear vertices.
+Both now carry hash-checked DuckDB oracles (VERDICT r3 #1) in
+addition to the property tests (tests/test_geomops.py: every input
+point lies inside the hull, hull vertices are input points, DP keeps
+endpoints and is idempotent, epsilon=0 only drops exactly-collinear
+vertices):
+
+- `sql_convex_hull` mirrors the hull WITHOUT recursion: on the
+  µdeg integer lattice, (a, b) is a CCW hull edge iff every other
+  point is strictly left of a→b or lies on the closed segment — an
+  exact-int64 edge-counting test. An Akl–Toussaint octagon prefilter
+  (extremes of x, y, x+y, x−y per group; hull vertices always
+  survive it, so the witness set stays complete) keeps the O(c³)
+  edge scan on a boundary-shell-sized candidate set.
+- `sql_simplify_ring7` mirrors Douglas–Peucker as a recursive CTE:
+  each interval finds its max-distance vertex (row_number tie-break =
+  np.argmax's first-max) and splits when d > ε; kept vertices are the
+  distinct interval endpoints. The distance CASE is the same
+  expression tree as `_dp_mask` (within-interval argmax ordering is
+  denominator-free, so hypot-vs-sqrt ULPs can't reorder it).
 
 Reference parity: geo-import has no hull/simplify (its geometry ops
 are fixers — linify/close-rings, es6-lib/decoders/transform.js);
@@ -122,8 +136,31 @@ def _hull_of_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     for g, sub in pdf.groupby("group_key", sort=False):
         xs = sub["lon"].values.astype(np.float64)
         ys = sub["lat"].values.astype(np.float64)
+        # Integral inputs (e.g. µdeg-lattice coordinates) switch the
+        # whole hull to exact int64 arithmetic: float64 cross products
+        # of µdeg coords reach ~6e16 > 2^53 and can flip sign on
+        # near-collinear triples, while int64 crosses (< 2.6e17) are
+        # exact — this is what makes the hull hash-comparable to the
+        # integer-predicate DuckDB oracle.
+        if (
+            len(xs)
+            and np.all(np.isfinite(xs))
+            and np.all(np.isfinite(ys))
+            and np.all(xs == np.rint(xs))
+            and np.all(ys == np.rint(ys))
+            and np.abs(xs).max() < 2**53
+            and np.abs(ys).max() < 2**53
+        ):
+            xs = xs.astype(np.int64)
+            ys = ys.astype(np.int64)
         idx = _hull_indices(xs, ys)
-        out.append({"group_key": g, "xs": xs[idx].tolist(), "ys": ys[idx].tolist()})
+        out.append(
+            {
+                "group_key": g,
+                "xs": xs[idx].astype(np.float64).tolist(),
+                "ys": ys[idx].astype(np.float64).tolist(),
+            }
+        )
     return pd.DataFrame(out, columns=["group_key", "xs", "ys"])
 
 
@@ -250,3 +287,155 @@ def simplify_lines(lines: DataFrame, epsilon: float,
     return lines.select(
         F.col(id_col).cast("string").alias(id_col), "xs", "ys"
     ).mapInPandas(simp, schema)
+
+
+# --- DuckDB oracle mirrors (driver-contract hash checks) ----------------------
+
+def _octagon_corner(order_by: str) -> str:
+    return (
+        "SELECT layer_id, x, y FROM pts QUALIFY row_number() OVER "
+        f"(PARTITION BY layer_id ORDER BY {order_by}) = 1"
+    )
+
+
+def sql_convex_hull(sql_points: str) -> str:
+    """Non-recursive exact hull mirror on the µdeg lattice (module doc).
+
+    Input CTE contract: `sql_points` yields (a_string, lon, lat); the
+    group key is a_string, coordinates quantize to BIGINT µdeg with
+    the same FLOOR(v*1e6+0.5) the Spark query applies. Output:
+    (layer_id, n_hull, area2_u) where area2_u = |Σ cross| (twice the
+    hull area in µdeg², exact int64 — order-free, so it hash-matches
+    the Spark fold regardless of vertex start).
+
+    Correctness of the octagon prefilter: a hull vertex is an extreme
+    point, never strictly inside any convex polygon of input points,
+    so every hull vertex survives — and every false edge (a,b) has a
+    surviving hull-vertex witness strictly right of a→b or collinear
+    beyond the segment, so the NOT EXISTS over survivors rejects it.
+    Duplicate octagon corners make that edge zero-length; the
+    is-degenerate disjunct skips it (otherwise cross>0 can never hold
+    and the prefilter silently keeps everything — measured: group P
+    kept 5088/5088 before the guard, 82 after).
+    """
+    corners = {
+        "w": "x, y", "s": "y, x", "e": "x DESC, y DESC", "n": "y DESC, x DESC",
+        "sw": "x + y, x", "ne": "x + y DESC, x DESC",
+        "se": "x - y DESC, x DESC", "nw": "x - y, x",
+    }
+    corner_ctes = ",\n".join(
+        f"{k} AS ({_octagon_corner(v)})" for k, v in corners.items()
+    )
+    # CCW direction order of the 8 extremes
+    ring = ["w", "sw", "s", "se", "e", "ne", "n", "nw"]
+    edge_skip = " AND\n    ".join(
+        f"((o.cx[{j}] = o.cx[{i}] AND o.cy[{j}] = o.cy[{i}]) OR "
+        f"(o.cx[{j}]-o.cx[{i}])*(p.y-o.cy[{i}]) - "
+        f"(o.cy[{j}]-o.cy[{i}])*(p.x-o.cx[{i}]) > 0)"
+        for i, j in ((k, k % 8 + 1) for k in range(1, 9))
+    )
+    cx = ", ".join(f"{c}.x" for c in ring)
+    cy = ", ".join(f"{c}.y" for c in ring)
+    joins = " ".join(f"JOIN {c} USING (layer_id)" for c in ring[1:])
+    return f"""
+WITH pts0 AS ({sql_points}),
+pts AS (
+  SELECT DISTINCT a_string AS layer_id,
+         CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(lat * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM pts0
+),
+{corner_ctes},
+oc AS (
+  SELECT w.layer_id, [{cx}] AS cx, [{cy}] AS cy
+  FROM w {joins}
+),
+cand AS (
+  SELECT p.layer_id, p.x, p.y
+  FROM pts p JOIN oc o USING (layer_id)
+  WHERE NOT (
+    {edge_skip}
+  )
+),
+hull_edges AS (
+  SELECT a.layer_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM cand a JOIN cand b USING (layer_id)
+  WHERE (a.x <> b.x OR a.y <> b.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM cand r
+      WHERE r.layer_id = a.layer_id
+        AND NOT (
+          (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) > 0
+          OR ( (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+               AND (r.x - a.x) * (b.x - a.x) + (r.y - a.y) * (b.y - a.y) >= 0
+               AND (r.x - a.x) * (b.x - a.x) + (r.y - a.y) * (b.y - a.y)
+                   <= (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) )
+        )
+    )
+)
+SELECT layer_id, CAST(COUNT(*) AS BIGINT) AS n_hull,
+       CAST(ABS(SUM(ax * by - bx * ay)) AS BIGINT) AS area2_u
+FROM hull_edges GROUP BY layer_id
+"""
+
+
+SIMPLIFY_EPS = 1e-9
+
+
+def sql_simplify_ring7(sql_polygons: str) -> str:
+    """Recursive-CTE Douglas–Peucker mirror over the densified
+    7-vertex rectangle ring [(minx,miny), (mid,miny), (maxx,miny),
+    (maxx,mid), (maxx,maxy), (minx,maxy), (minx,miny)] — the two edge
+    midpoints are exactly collinear, so DP at ε=1e-9 drops them
+    (n_in=7 → n_out=5 — the oracle verifies actual vertex DROPS, not
+    just pass-through). Interval argmax ties break to the lowest idx
+    (np.argmax first-max); closed-ring endpoints hit the same
+    zero-length-segment distance branch as `_dp_mask`.
+
+    Output: (line_id, n_in, n_out).
+    """
+    return f"""
+WITH RECURSIVE polys AS ({sql_polygons}),
+v AS (
+  SELECT poly_id AS line_id, CAST(i AS INTEGER) AS idx,
+    CASE CAST(i AS INTEGER) WHEN 0 THEN minx WHEN 1 THEN (minx + maxx) / 2.0
+      WHEN 2 THEN maxx WHEN 3 THEN maxx WHEN 4 THEN maxx
+      WHEN 5 THEN minx ELSE minx END AS x,
+    CASE CAST(i AS INTEGER) WHEN 0 THEN miny WHEN 1 THEN miny WHEN 2 THEN miny
+      WHEN 3 THEN (miny + maxy) / 2.0 WHEN 4 THEN maxy
+      WHEN 5 THEN maxy ELSE miny END AS y
+  FROM polys CROSS JOIN (SELECT UNNEST(range(7)) AS i)
+),
+iv(line_id, i, j) AS (
+  SELECT poly_id, 0, 6 FROM polys
+  UNION ALL
+  SELECT s.line_id, u.lo, u.hi
+  FROM (
+    SELECT line_id, i, j, k, d,
+           row_number() OVER (PARTITION BY line_id, i, j
+                              ORDER BY d DESC, k ASC) AS rn
+    FROM (
+      SELECT t.line_id, t.i, t.j, p.idx AS k,
+        CASE WHEN b.x - a.x = 0 AND b.y - a.y = 0
+          THEN sqrt((p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y))
+          ELSE abs((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+               / sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+        END AS d
+      FROM iv t
+      JOIN v a ON a.line_id = t.line_id AND a.idx = t.i
+      JOIN v b ON b.line_id = t.line_id AND b.idx = t.j
+      JOIN v p ON p.line_id = t.line_id AND p.idx > t.i AND p.idx < t.j
+    ) raw
+  ) s
+  CROSS JOIN UNNEST([{{'lo': s.i, 'hi': s.k}}, {{'lo': s.k, 'hi': s.j}}]) AS t(u)
+  WHERE s.rn = 1 AND s.d > {SIMPLIFY_EPS}
+),
+kept AS (
+  SELECT line_id, i AS idx FROM iv
+  UNION
+  SELECT line_id, j AS idx FROM iv
+)
+SELECT line_id, CAST(7 AS BIGINT) AS n_in,
+       CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_out
+FROM kept GROUP BY line_id
+"""

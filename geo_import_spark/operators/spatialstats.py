@@ -83,17 +83,23 @@ def morans_i(points: DataFrame) -> DataFrame:
                  F.col("di").alias("dj")),
         ["nx", "ny"],
     )
+    # COALESCE matches the oracle's num on degenerate inputs where no
+    # two occupied cells are rook-adjacent (empty pairs frame -> SUM
+    # is NULL); w_pairs = 0 then NULLs the statistic on both sides
+    # instead of dividing by zero (ADVICE r3).
     pstats = pairs.agg(
         F.count(F.lit(1)).alias("w_pairs"),
-        F.sum(F.col("di") * F.col("dj")).alias("num"),
+        F.coalesce(F.sum(F.col("di") * F.col("dj")), F.lit(0)).alias("num"),
     )
     dstats = d.agg(F.max("n_cells").alias("n_cells"),
                    F.sum(F.col("di") * F.col("di")).alias("den"))
     return dstats.crossJoin(F.broadcast(pstats)).select(
         "n_cells", "w_pairs", "num", "den",
-        ((F.col("n_cells").cast("double") * F.col("num").cast("double"))
-         / (F.col("w_pairs").cast("double") * F.col("den").cast("double"))
-         ).alias("morans_i"),
+        F.when(
+            F.col("w_pairs") > 0,
+            (F.col("n_cells").cast("double") * F.col("num").cast("double"))
+            / (F.col("w_pairs").cast("double") * F.col("den").cast("double")),
+        ).alias("morans_i"),
     )
 
 
@@ -117,8 +123,10 @@ ps AS (SELECT count(*) AS w_pairs,
 ds AS (SELECT MAX(n_cells) AS n_cells,
               CAST(SUM(di * di) AS BIGINT) AS den FROM d)
 SELECT n_cells, w_pairs, num, den,
-       (CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE))
-         / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE)) AS morans_i
+       CASE WHEN w_pairs > 0 THEN
+         (CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE))
+           / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))
+       END AS morans_i
 FROM ds, ps
 """
 

@@ -8,9 +8,10 @@ hash-compared — so every operator here reduces ONLY integers and
 applies the floating-point formula once to the reduced scalars:
 
 - **Pearson / OLS** reduce the five moment sums n, Σx, Σy, Σxy, Σx²
-  (and Σy²) over integer-lattice inputs (cents / integer quantities),
-  then evaluate r and (slope, intercept) as one closed-form double
-  expression per group.
+  (and Σy²) over integer-lattice inputs (whole dollars = cents div
+  100 / integer quantities — the rescale keeps Σy² at ~1e-4 of int64
+  even at sf100), then evaluate r and (slope, intercept) as one
+  closed-form double expression per group.
 - **RFM segmentation** buckets customers by ntile(4) windows whose
   ordering carries a unique-key tie-break, so ranks are total and
   both engines bucket identically.
@@ -46,15 +47,25 @@ def _moments(df: DataFrame, key, x, y) -> DataFrame:
 
 
 def qty_price_correlation(lineitem: DataFrame) -> DataFrame:
-    """Pearson correlation of (quantity, price-in-cents) per return
-    flag, computed from exact integer moment sums; r is one double
-    expression over the six reduced scalars.
+    """Pearson correlation of (quantity, price-in-whole-dollars) per
+    return flag, computed from exact integer moment sums; r is one
+    double expression over the six reduced scalars.
+
+    Price enters the moments as whole dollars (cents div 100, the
+    exact rescale mirrored in the oracle): in cents, the largest
+    per-flag Σy² measured at sf0.1 was 7.4e18 = 81% of int64 max, so
+    the cents form would wrap silently at ~sf0.2 while DuckDB errors —
+    the dollar rescale buys 1e4× headroom (safe past sf1000) at the
+    cost of dropping sub-dollar remainders from the statistic.
 
     Output: (l_returnflag, n, r).
     """
-    x = F.col("l_quantity").cast("long")
-    y = _cents(F.col("l_extendedprice"))
-    m = _moments(lineitem, "l_returnflag", x, y)
+    staged = lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    ).select("l_returnflag", "x", F.expr("price_c div 100").alias("y"))
+    m = _moments(staged, "l_returnflag", F.col("x"), F.col("y"))
     d = lambda c: F.col(c).cast("double")
     num = d("n") * d("sxy") - d("sx") * d("sy")
     den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
@@ -64,17 +75,18 @@ def qty_price_correlation(lineitem: DataFrame) -> DataFrame:
 
 
 SQL_QTY_PRICE_CORRELATION = f"""
-WITH m AS (
+WITH staged AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         {SQL_CENTS.format(x='l_extendedprice')} // 100 AS y
+  FROM lineitem
+), m AS (
   SELECT l_returnflag, count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sy,
-         CAST(SUM(CAST(l_quantity AS BIGINT)
-              * {SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sxy,
-         CAST(SUM(CAST(l_quantity AS BIGINT)
-              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
-         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}
-              * {SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS syy
-  FROM lineitem GROUP BY l_returnflag
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM staged GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -88,16 +100,22 @@ FROM m
 
 
 def price_qty_regression(lineitem: DataFrame) -> DataFrame:
-    """Per-return-flag OLS of price_cents ~ quantity from the same
+    """Per-return-flag OLS of price_dollars ~ quantity from the same
     exact moment sums: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
     intercept = (Σy − slope·Σx)/n — closed-form doubles over reduced
-    integers, so both engines evaluate bit-identically.
+    integers, so both engines evaluate bit-identically. Price enters
+    as whole dollars (cents div 100) for the same int64-headroom
+    reason as qty_price_correlation.
 
-    Output: (l_returnflag, n, slope, intercept).
+    Output: (l_returnflag, n, slope, intercept) — slope/intercept in
+    dollars per unit quantity / dollars.
     """
-    x = F.col("l_quantity").cast("long")
-    y = _cents(F.col("l_extendedprice"))
-    m = _moments(lineitem, "l_returnflag", x, y)
+    staged = lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    ).select("l_returnflag", "x", F.expr("price_c div 100").alias("y"))
+    m = _moments(staged, "l_returnflag", F.col("x"), F.col("y"))
     d = lambda c: F.col(c).cast("double")
     slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
         d("n") * d("sxx") - d("sx") * d("sx")
@@ -109,15 +127,17 @@ def price_qty_regression(lineitem: DataFrame) -> DataFrame:
 
 
 SQL_PRICE_QTY_REGRESSION = f"""
-WITH m AS (
+WITH staged AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         {SQL_CENTS.format(x='l_extendedprice')} // 100 AS y
+  FROM lineitem
+), m AS (
   SELECT l_returnflag, count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-         CAST(SUM({SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sy,
-         CAST(SUM(CAST(l_quantity AS BIGINT)
-              * {SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sxy,
-         CAST(SUM(CAST(l_quantity AS BIGINT)
-              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
-  FROM lineitem GROUP BY l_returnflag
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM staged GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

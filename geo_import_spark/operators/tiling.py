@@ -499,10 +499,14 @@ def label_dense_regions(
         F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
         F.lit(0),
     )
-    key = F.concat(
-        F.lit("c"),
-        F.lpad(F.col("x").cast("string"), 3, "0"),
-        F.lpad(F.col("y").cast("string"), 3, "0"),
+    # pad width sized from the level: lpad TRUNCATES strings longer
+    # than the width (both engines), so a fixed 3 would silently
+    # collide distinct cells at level >= 10 (4-digit coords); %0Nd
+    # format never truncates (ADVICE r3). max(3, digits) keeps the
+    # keys byte-identical to the historical lpad-3 form at level <= 9.
+    width = max(3, len(str(n - 1)))
+    key = F.format_string(
+        f"c%0{width}d%0{width}d", F.col("x"), F.col("y")
     )
     dense = (
         points.groupBy(gx.alias("x"), gy.alias("y"))

@@ -154,3 +154,18 @@ def test_idw_plan_is_jvm_only_single_aggregate_shuffle(spark, sf_dir):
     # third exchange means the map-side combine was lost
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
     assert "HashAggregate" in p
+
+
+def test_dense_regions_no_key_collision_at_deep_level(spark):
+    """ADVICE r3: lpad(x, 3) TRUNCATES 4-digit coords, so at level 10
+    cells (1000, 0) and (100, 0) collided into key 'c100000' and far
+    apart regions silently merged. The %0Nd width now grows with the
+    level: both cells label as their own region."""
+    pts = _pts_in_cells(spark, [(1000, 0), (100, 0)], per_cell=2, level=10)
+    out = tiling.label_dense_regions(pts, level=10, min_points=2).collect()
+    regions = {(r["x"], r["y"]): r["region_id"] for r in out}
+    assert len(regions) == 2
+    assert regions[(1000, 0)] != regions[(100, 0)]
+    # 4-digit zero-padded keys, no truncation
+    assert regions[(100, 0)] == "c01000000"
+    assert regions[(1000, 0)] == "c10000000"

@@ -19,14 +19,16 @@ def test_correlation_matches_numpy(spark):
         "l_returnflag string, l_quantity double, l_extendedprice double",
     )
     row = st.qty_price_correlation(li).collect()[0]
-    expect = np.corrcoef(qty, np.round(price * 100))[0, 1]
+    # engine scale: exact cents floor-divided to whole dollars
+    dollars = np.floor(price * 100.0 + 0.5) // 100
+    expect = np.corrcoef(qty, dollars)[0, 1]
     assert row.n == 300
     assert abs(row.r - expect) < 1e-9
 
 
 def test_regression_matches_numpy(spark):
     qty = np.arange(1, 41, dtype=float)
-    price = (qty * 250.0 + 1000.0) / 100.0  # exact cents: 250*q + 1000
+    price = qty * 250.0 + 1000.0  # whole dollars: 250*q + 1000 exactly
     li = spark.createDataFrame(
         [("A", float(q), float(p)) for q, p in zip(qty, price)],
         "l_returnflag string, l_quantity double, l_extendedprice double",
