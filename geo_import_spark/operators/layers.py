@@ -54,6 +54,11 @@ DATA_TYPE_NAME = {
 }
 
 
+# layer.js:77-79 — the uid sentinel for layers the caller's spec
+# didn't pre-assign one to
+EMPTY_UID = "__empty__"
+
+
 @dataclass
 class LayerSchema:
     layer_idx: int
@@ -61,6 +66,19 @@ class LayerSchema:
     geom_ctype: str  # 'null' until a typed geometry refines it
     columns: list  # [(rawName, ctype), ...] post-refinement, geom excluded
     fingerprints: list = field(default_factory=list)
+    # user-supplied layer spec assigned by first-seen position
+    # (merger.js:72 `this._specs[this._layers.length]`)
+    spec: dict = field(default_factory=dict)
+
+    @property
+    def name(self) -> str:
+        """Spec name, else positional default (layer.js:122-123)."""
+        return self.spec.get("name") or f"layer_{self.layer_idx}"
+
+    @property
+    def uid(self) -> str:
+        """Spec uid, else the EMPTY sentinel (layer.js:126-127)."""
+        return self.spec.get("uid") or EMPTY_UID
 
     @property
     def out_names(self) -> list[str]:
@@ -160,9 +178,16 @@ def unify_fingerprints(fps_in_order: list[dict]) -> list[LayerSchema]:
     return layers
 
 
-def merge_layers(parsed: DataFrame):
+def merge_layers(parsed: DataFrame, specs: list | None = None):
     """parsed features (doc_id, span_offset, geom, props, crs, error)
     -> (assigned DataFrame with layer_idx column, [LayerSchema]).
+
+    `specs` is the user's per-position layer spec list (merger.js:72:
+    `spec = this._specs[this._layers.length]` — i.e. the spec at the
+    position the layer is OPENED at, in first-seen order). Each spec
+    is a dict ({"name": ..., "uid": ...}) or a bare string shorthand
+    for {"name": ...}; positions past the end of the list get the
+    empty spec, so names fall back to `layer_<idx>` (layer.js:122).
 
     Error rows are excluded (they flow to the error side-channel)."""
     ok = parsed.filter(F.col("error").isNull())
@@ -175,6 +200,9 @@ def merge_layers(parsed: DataFrame):
         .collect()
     )
     layers = unify_fingerprints([r["fp"] for r in firsts])
+    for layer in layers:
+        spec = specs[layer.layer_idx] if specs and layer.layer_idx < len(specs) else {}
+        layer.spec = {"name": spec} if isinstance(spec, str) else dict(spec or {})
     fp_to_idx = {fp: layer.layer_idx for layer in layers for fp in layer.fingerprints}
     if fp_to_idx:
         mapping = F.create_map(
@@ -234,6 +262,9 @@ def layer_summary(assigned: DataFrame, layers: list[LayerSchema]) -> list[dict]:
             {
                 "layer_idx": layer.layer_idx,
                 "count": c["n"] if c else 0,
+                # layer.js:106-107 toJSON carries the spec/positional name
+                "name": layer.name,
+                "uid": layer.uid,
                 "projection": layer.crs,
                 "geomType": layer.geom_type_name,
                 "bbox": {

@@ -70,11 +70,13 @@ def abbreviated_summary() -> list[dict]:
     return []
 
 
-def full_summary(spark, documents, fmt: str) -> list[dict]:
+def full_summary(spark, documents, fmt: str, specs: list | None = None) -> list[dict]:
     """Full-stream summary: decode every geometry span, merge layers,
     aggregate count/bbox/geomType/columns per layer. Aggregate-only
     plan — Spark never materializes the rows anywhere (the reference's
-    throwaway Merger, merger.js ctor arg / layer.js:249-252)."""
+    throwaway Merger, merger.js ctor arg / layer.js:249-252). `specs`
+    is the caller's per-position layer spec list (merger.js:72 — names
+    land in each summary entry's `name`)."""
     from pyspark.sql import functions as F
 
     from geo_import_spark.operators import layers as layersmod
@@ -82,11 +84,14 @@ def full_summary(spark, documents, fmt: str) -> list[dict]:
 
     docs = documents.withColumn("format", F.lit(fmt))
     parsed = dispatch.decode_geometry_spans(docs)
-    assigned, layers = layersmod.merge_layers(parsed)
+    assigned, layers = layersmod.merge_layers(parsed, specs=specs)
     return layersmod.layer_summary(assigned, layers)
 
 
-def summarize_blob(spark, blob: bytes, fmt: str, size: int | None = None) -> list[dict]:
+def summarize_blob(
+    spark, blob: bytes, fmt: str, size: int | None = None,
+    specs: list | None = None,
+) -> list[dict]:
     """The SummaryService.post dispatch (summary.js:63-90):
     shapefile -> quick prj-only; small declared size -> full; else
     abbreviated. `size` is the caller's X-Blob-Length equivalent: the
@@ -120,7 +125,7 @@ def summarize_blob(spark, blob: bytes, fmt: str, size: int | None = None) -> lis
         "doc_id string, spans array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>",
     )
-    return full_summary(spark, docs, fmt)
+    return full_summary(spark, docs, fmt, specs=specs)
 
 
 def table_summary(table) -> dict:

@@ -297,6 +297,30 @@ def test_summary_shape(spark):
     ]
 
 
+def test_layer_spec_names(spark):
+    """merger.js:72 + layer.js:106-127 golden: specs are assigned by
+    first-seen layer position; spec name lands in the summary `name`,
+    positions past the spec list default to layer_<idx>, and uid
+    defaults to the EMPTY sentinel."""
+    parsed = _features_df(spark, "multi_crs.json")  # opens 2 layers
+    specs = [{"name": "A Layer Named Layer", "uid": "abcd-efgh"}]
+    assigned, layers = layersmod.merge_layers(parsed, specs=specs)
+    assert len(layers) == 2
+    assert layers[0].name == "A Layer Named Layer"
+    assert layers[0].uid == "abcd-efgh"
+    assert layers[1].name == "layer_1"  # past the spec list
+    assert layers[1].uid == layersmod.EMPTY_UID
+    s = layersmod.layer_summary(assigned, layers)
+    assert [e["name"] for e in s] == ["A Layer Named Layer", "layer_1"]
+    assert [e["uid"] for e in s] == ["abcd-efgh", layersmod.EMPTY_UID]
+    # bare-string shorthand and empty/None spec entries
+    _, layers2 = layersmod.merge_layers(parsed, specs=["wards", None])
+    assert [l.name for l in layers2] == ["wards", "layer_1"]
+    # no specs at all -> positional defaults (layer.js:122)
+    _, layers3 = layersmod.merge_layers(parsed)
+    assert [l.name for l in layers3] == ["layer_0", "layer_1"]
+
+
 def test_shapefile_goldens():
     """unit/shapefile.js:124-172 goldens: values + geometry promotion."""
     from geo_import_spark.sources import shapefile as shpmod
