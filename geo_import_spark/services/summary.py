@@ -47,6 +47,11 @@ def quick_shapefile_summary(blob: bytes) -> list[dict]:
         for info in zf.infolist():
             if info.is_dir():
                 continue
+            # entries >1 directory deep are invisible (shapefile.js:246
+            # _walk depth check) — smoke wards-chicago.zip carries a
+            # doubly-nested duplicate .prj that must NOT become a layer
+            if info.filename.count("/") > 1:
+                continue
             base = info.filename.rsplit("/", 1)[-1]
             if base.startswith(".") or not base.lower().endswith(".prj"):
                 continue

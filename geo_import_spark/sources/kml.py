@@ -107,13 +107,50 @@ def _cast(value: str, declared: str):
     return value, "string"
 
 
+def _declare_missing_prefixes(data: bytes) -> bytes:
+    """Real-world KML often uses namespace prefixes it never declares
+    (e.g. a bare `xsi:schemaLocation` — smoke terrassa.kml). The
+    reference's SAX parser shrugs; ElementTree raises 'unbound
+    prefix'. Declare every used-but-undeclared prefix on the root
+    element with a placeholder URI (only the localname matters
+    downstream — _localname strips namespaces everywhere)."""
+    import re
+
+    text = data.decode("utf-8", "replace")
+    used = set(re.findall(r"</?([A-Za-z_][\w.-]*):", text)) | set(
+        re.findall(r"\s([A-Za-z_][\w.-]*):[A-Za-z_][\w.-]*\s*=", text)
+    )
+    declared = set(re.findall(r"xmlns:([A-Za-z_][\w.-]*)", text))
+    missing = sorted(used - declared - {"xml", "xmlns"})
+    if not missing:
+        return data
+    decls = "".join(f' xmlns:{p}="urn:x-undeclared:{p}"' for p in missing)
+    # inject on the root element's open tag (first tag that is not a
+    # prolog/comment/doctype)
+    patched = re.sub(
+        r"(<[A-Za-z_][\w.:-]*)([\s>])", lambda m: m.group(1) + decls + m.group(2),
+        text, count=1,
+    )
+    return patched.encode("utf-8")
+
+
 def parse_kml_document(data: bytes | str) -> list[dict]:
     """One KML document -> list of feature rows:
     {geom: {'type': CamelCase, 'coordinates': …} | None,
      properties: [(name, value, ctype), …] in encounter order}.
-    """
+
+    Strict XML parse first; on a parse error retry once with
+    used-but-undeclared namespace prefixes declared (lenient-parser
+    parity with the reference on messy real-world KML)."""
     if isinstance(data, str):
         data = data.encode("utf-8")
+    try:
+        return _parse_kml_strict(data)
+    except ElementTree.ParseError:
+        return _parse_kml_strict(_declare_missing_prefixes(data))
+
+
+def _parse_kml_strict(data: bytes) -> list[dict]:
     schema: dict[str, str] = {}
     rows: list[dict] = []
 

@@ -29,6 +29,19 @@ SHAPE_POLYLINE = 3
 SHAPE_POLYGON = 5
 SHAPE_MULTIPOINT = 8
 
+# Z (11-18) and M (21-28) shape variants append z/m ranges+arrays AFTER
+# the XY payload, so the XY parse is offset-identical to the base type
+# — map each to its base and ignore the trailing arrays (the reference's
+# shapefile lib reads XY the same way; smoke fixtures xNeighbourhood
+# (PolygonM=25) and CATCH_BASIN_LEAD (PolyLineZ=13) exercise this).
+_BASE_TYPE = {
+    SHAPE_POINT: SHAPE_POINT, 11: SHAPE_POINT, 21: SHAPE_POINT,
+    SHAPE_POLYLINE: SHAPE_POLYLINE, 13: SHAPE_POLYLINE, 23: SHAPE_POLYLINE,
+    SHAPE_POLYGON: SHAPE_POLYGON, 15: SHAPE_POLYGON, 25: SHAPE_POLYGON,
+    SHAPE_MULTIPOINT: SHAPE_MULTIPOINT, 18: SHAPE_MULTIPOINT,
+    28: SHAPE_MULTIPOINT,
+}
+
 
 def _ring_area2(ring):
     """Signed double area; >0 = CCW."""
@@ -51,8 +64,9 @@ def parse_shp(data: bytes) -> list[dict | None]:
         pos += clen * 2
         if len(content) < 4:
             break
-        (stype,) = struct.unpack("<i", content[:4])
-        if stype == SHAPE_NULL:
+        (stype_raw,) = struct.unpack("<i", content[:4])
+        stype = _BASE_TYPE.get(stype_raw)
+        if stype_raw == SHAPE_NULL or stype is None:
             geoms.append(None)
         elif stype == SHAPE_POINT:
             x, y = struct.unpack("<2d", content[4:20])
@@ -126,7 +140,10 @@ def parse_dbf(data: bytes) -> list[list[tuple] | None]:
         row = []
         off = 1
         for name, ftype, length in fields:
-            raw = rec[off : off + length].decode("latin-1")
+            # the reference reads DBF text as UTF-8 (shapefile.js:227
+            # `shapefile.reader(shp, 'utf-8')`; smoke municipios.zip
+            # carries UTF-8 accents) with U+FFFD replacement
+            raw = rec[off : off + length].decode("utf-8", "replace")
             off += length
             s = raw.strip().strip("\x00")  # NUL-padded text (soql/text.js:13)
             if ftype in ("N", "F"):
@@ -185,11 +202,21 @@ def parse_shapefile_zip(data: bytes) -> list[dict]:
     for info in zf.infolist():
         if info.is_dir():
             continue
+        # the reference walks only entries at most one directory deep
+        # (shapefile.js:246 dirname-segment check) — this is what makes
+        # __MACOSX/ resource forks and doubly-nested duplicate triples
+        # (smoke wards-chicago.zip) invisible to the decoder
+        if info.filename.count("/") > 1:
+            continue
         base = info.filename.rsplit("/", 1)[-1]
         if base.startswith("."):
             continue
         stem, _, ext = base.rpartition(".")
-        key = info.filename[: len(info.filename) - len(ext) - 1]
+        # extensions AND basenames match case-insensitively: the
+        # reference lowercases extensions (shapefile.js:34-47) and its
+        # sorted positional zip pairs dpw_x.shp with DPW_X.dbf (smoke
+        # xdpw fixture ships exactly that case mix)
+        key = info.filename[: len(info.filename) - len(ext) - 1].lower()
         groups.setdefault(key, {})[ext.lower()] = info.filename
     rows: list[dict] = []
     for key in sorted(groups):
