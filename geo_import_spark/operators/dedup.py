@@ -227,6 +227,8 @@ def duplicate_clusters(
     documents: DataFrame,
     pairs: DataFrame | None = None,
     max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Near-dup pairs -> connected components -> representative per doc:
     the last step of a production dedup pipeline (keep one doc per
@@ -246,7 +248,18 @@ def duplicate_clusters(
 
     pairs defaults to minhash_lsh_pairs(documents); any (doc_a, doc_b)
     pair generator (ngram_jaccard_pairs, simhash buckets) plugs in.
+
+    Durability (VERDICT r3 #2): `checkpoint_dir` opts into reliable
+    per-round checkpoints (plans/itercheckpoint.py) — round r's labels
+    land at <dir>/labels/round_r as parquet, and a killed run called
+    again with the same dir RESUMES from the newest completed round
+    instead of round 0 (edges are regenerated — deterministic — but no
+    label round is recomputed). Default stays localCheckpoint: zero
+    I/O, dies with an executor.
     """
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    ck = LoopCheckpointer(checkpoint_dir, name="labels", every=checkpoint_every)
     if pairs is None:
         pairs = minhash_lsh_pairs(documents)
     edges = pairs.select(
@@ -254,19 +267,26 @@ def duplicate_clusters(
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)  # pair generation runs once
 
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    start_round = 1
+    labels = None
+    if ck.durable:
+        last, saved = ck.latest(documents.sparkSession)
+        if last is not None:
+            labels, start_round = saved, last + 1
+    if labels is None:
+        labels = ck.truncate(
+            documents.select("doc_id", F.col("doc_id").alias("label")), 0
+        )
+    for rnd in range(start_round, max_rounds + 1):
         neighbor = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "label")
         )
-        new_labels = (
+        new_labels = ck.truncate(
             labels.unionByName(neighbor)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            rnd,
         )
         changed = (
             new_labels.alias("n")

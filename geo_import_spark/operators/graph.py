@@ -36,8 +36,16 @@ PR_BASE = 150_000  # (1 - 0.85) * PR_SCALE
 
 
 def pagerank(orders: DataFrame, customer: DataFrame,
-             iters: int = PR_ITERS) -> DataFrame:
-    """(node_id, pr) after `iters` exact integer PageRank steps."""
+             iters: int = PR_ITERS,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """(node_id, pr) after `iters` exact integer PageRank steps.
+
+    `checkpoint_dir` opts the per-iteration lineage truncation into
+    durable parquet rounds with resume (plans/itercheckpoint.py) —
+    default stays localCheckpoint (dies with an executor)."""
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    ck = LoopCheckpointer(checkpoint_dir, name="ranks")
     nodes = customer.select(F.col("c_custkey").cast("long").alias("id"))
     n = nodes.agg(F.count("*").alias("n"))
     edges = orders.crossJoin(F.broadcast(n)).select(
@@ -48,20 +56,29 @@ def pagerank(orders: DataFrame, customer: DataFrame,
     edges_d = edges.join(deg, "src")  # static across iterations
 
     ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("r"))
-    for _ in range(iters):
+    start_iter = 0
+    if ck.durable:
+        last, saved = ck.latest(customer.sparkSession)
+        if last is not None:
+            ranks, start_iter = saved, last + 1
+    for it in range(start_iter, iters):
         sums = (
             edges_d.join(ranks, edges_d["src"] == ranks["id"])
             .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(sums, "id", "left").select(
-            "id",
-            (
-                F.lit(PR_BASE)
-                + F.expr(f"(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
-            ).cast("long").alias("r"),
-        ).localCheckpoint(eager=False)
+        ranks = ck.truncate(
+            nodes.join(sums, "id", "left").select(
+                "id",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(f"(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).cast("long").alias("r"),
+            ),
+            it,
+            eager=ck.durable,
+        )
     return ranks.select(F.col("id").alias("node_id"), F.col("r").alias("pr"))
 
 

@@ -149,10 +149,22 @@ def knn_join(
     haversine: bool = False,
     point_key: str = "doc_id",
     max_rounds: int = 12,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """queries(query_id, qlon, qlat) x points(point_key, lon, lat)
     -> (query_id, point_key, rank, dist) exact k nearest neighbors.
+
+    `checkpoint_dir` swaps the per-round localCheckpoints of the loop
+    state (results + pending) for durable parquet rounds
+    (plans/itercheckpoint.py) and resumes a killed run from the newest
+    completed round — the ring radius is derived from the round index
+    (r = 2^(i+1)), so no extra state needs persisting.
     """
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    ck_res = LoopCheckpointer(checkpoint_dir, name="results")
+    ck_pen = LoopCheckpointer(checkpoint_dir, name="pending")
+
     pts = points.select(point_key, "lon", "lat").withColumn(
         "cell_id", cellmod.cell_col(F.col("lon"), F.col("lat"), level)
     )
@@ -161,8 +173,20 @@ def knn_join(
 
     pending = queries.select("query_id", "qlon", "qlat")
     results = None
-    r = 2
-    for _ in range(max_rounds):
+    start_round = 0
+    if ck_pen.durable:
+        # pending is written LAST each round, so its newest round is
+        # the coherent resume point; results are loaded at that SAME
+        # round (a results round with no matching pending round means
+        # the kill landed between the two writes — replaying from the
+        # earlier coherent round is correct, double-counting is not).
+        last, saved_pending = ck_pen.latest(pending.sparkSession)
+        if last is not None:
+            pending = saved_pending
+            results = ck_res.load(pending.sparkSession, last)
+            start_round = last + 1
+    r = 2 ** (start_round + 1)
+    for rnd in range(start_round, max_rounds):
         n_pending = pending.count()
         if n_pending == 0:
             break
@@ -220,13 +244,13 @@ def knn_join(
         # settled derives from the materialized topk, so the union
         # chain is shallow — a LAZY checkpoint still truncates lineage
         # across rounds without spending an extra job per round.
-        results = results.localCheckpoint(eager=False)
+        results = ck_res.truncate(results, rnd, eager=ck_res.durable)
         # pending MUST checkpoint too: a bare left_anti chain makes
         # round i recompute every earlier round's ring UDF + window
         # (measured ~5x on the polar haversine path). Cheap now: its
         # parents are the checkpointed topk and the prior pending.
-        pending = pending.join(settled_ids, "query_id", "left_anti").localCheckpoint(
-            eager=True
+        pending = ck_pen.truncate(
+            pending.join(settled_ids, "query_id", "left_anti"), rnd
         )
         if ring_covers_world:
             pending = pending.limit(0)

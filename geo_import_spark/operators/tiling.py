@@ -469,7 +469,8 @@ def sample_density_at_points(points: DataFrame, level: int = 6) -> DataFrame:
 
 
 def label_dense_regions(
-    points: DataFrame, level: int = 4, min_points: int = 4, max_rounds: int = 64
+    points: DataFrame, level: int = 4, min_points: int = 4, max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """2D raster segmentation: label maximal 4-connected regions of
     dense grid cells (the DBSCAN-shaped completion of
@@ -525,6 +526,9 @@ def label_dense_regions(
         dense.select(F.col("cell").alias("doc_id")),
         pairs=right.unionAll(down),
         max_rounds=max_rounds,
+        # durable rounds + resume pass straight through to the
+        # min-label loop (plans/itercheckpoint.py)
+        checkpoint_dir=checkpoint_dir,
     )
     return dense.join(labels, dense["cell"] == labels["doc_id"]).select(
         "x", "y", "n_points", F.col("cluster_rep").alias("region_id")
