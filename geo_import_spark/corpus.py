@@ -148,7 +148,7 @@ def polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     reps = spark.range(N_POLY_REPLICAS).select(F.col("id").cast("int").alias("rep"))
-    df = nation.crossJoin(reps).select(
+    df = nation.crossJoin(F.broadcast(reps)).select(
         (F.col("n_nationkey") * N_POLY_REPLICAS + F.col("rep")).cast("long").alias("pk"),
         F.col("n_regionkey").cast("string").alias("layer_id"),
     )
@@ -203,7 +203,7 @@ def concave_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     reps = spark.range(N_CONCAVE_REPLICAS).select(F.col("id").cast("int").alias("rep"))
-    df = nation.crossJoin(reps).select(
+    df = nation.crossJoin(F.broadcast(reps)).select(
         (F.col("n_nationkey") * N_CONCAVE_REPLICAS + F.col("rep"))
         .cast("long")
         .alias("pk")
@@ -252,7 +252,7 @@ def holed_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = spark.range(N_HOLED_REPLICAS).select(
         F.col("id").cast("int").alias("rep")
     )
-    df = nation.crossJoin(reps).select(
+    df = nation.crossJoin(F.broadcast(reps)).select(
         (F.col("n_nationkey") * N_HOLED_REPLICAS + F.col("rep"))
         .cast("long")
         .alias("pk")
@@ -330,7 +330,7 @@ def multipart_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = spark.range(N_MULTIPART_REPLICAS).select(
         F.col("id").cast("int").alias("rep")
     )
-    df = nation.crossJoin(reps).select(
+    df = nation.crossJoin(F.broadcast(reps)).select(
         (F.col("n_nationkey") * N_MULTIPART_REPLICAS + F.col("rep"))
         .cast("long")
         .alias("pk")
@@ -417,7 +417,7 @@ def validation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = spark.range(N_VALIDATION_REPLICAS).select(
         F.col("id").cast("int").alias("rep")
     )
-    df = nation.crossJoin(reps).select(
+    df = nation.crossJoin(F.broadcast(reps)).select(
         (F.col("n_nationkey") * N_VALIDATION_REPLICAS + F.col("rep"))
         .cast("long")
         .alias("pk")

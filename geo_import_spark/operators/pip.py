@@ -307,6 +307,41 @@ def _cover_level_col(minx, miny, maxx, maxy, base_level: int, max_cells: int):
     return expr.otherwise(1).cast("int")
 
 
+# Auto-salting knobs (shuffle mode): a cell is "hot" when it exceeds
+# HOT_CELL_LOAD_FACTOR x the mean shuffle-partition load; the salt
+# factor splits it back under that bound, capped so the polygon-side
+# replication (cover rows x salt) stays bounded.
+HOT_CELL_LOAD_FACTOR = 2.0
+MAX_AUTO_SALT = 32
+
+
+def auto_salt_factor(points: DataFrame, level: int) -> int:
+    """Measured salt factor for the shuffle join: the hot_cells
+    histogram (operators/tiling.py) reduced to one decision — how many
+    ways must the HOTTEST cell split so no single join partition
+    carries more than HOT_CELL_LOAD_FACTOR x the mean load?
+
+    One map-side-combined aggregate over the point side at the
+    COARSEST cover level (coarser cells are strictly hotter, so this
+    bounds every level the join actually uses). Returns 1 (no salting)
+    for uniform corpora — identical output either way; only the
+    physical partitioning changes.
+    """
+    import math
+
+    cell = cellmod.cell_col(F.col("lon"), F.col("lat"), level)
+    counts = points.groupBy(cell.alias("cell_id")).agg(
+        F.count("*").alias("n")
+    )
+    row = counts.agg(F.max("n").alias("mx"), F.sum("n").alias("total")).collect()[0]
+    if not row["total"]:
+        return 1
+    parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    target = max(1.0, HOT_CELL_LOAD_FACTOR * row["total"] / max(1, parts))
+    s = int(math.ceil(row["mx"] / target))
+    return max(1, min(MAX_AUTO_SALT, s))
+
+
 def estimate_polygon_side_bytes(polygons: DataFrame) -> tuple[int, int]:
     """(n_polys, estimated broadcast bytes) for the polygon side — one
     column-pruned aggregate job: rows x fixed overhead + vertices x 16
@@ -354,6 +389,14 @@ def pip_join(
     distinct-levels probe is a pure-JVM aggregate (_cover_level_col),
     so nothing is persisted and the covering UDF runs exactly once,
     inside the join's execution.
+
+    salt_factor=None (default) is MEASURED in shuffle mode: one
+    histogram aggregate (auto_salt_factor — the hot_cells diagnostic
+    reduced to a decision) picks the factor that splits the hottest
+    cell under HOT_CELL_LOAD_FACTOR x the mean partition load; uniform
+    corpora get 1 (no salting, no polygon replication). Pass an int to
+    force (1 disables). Broadcast mode never salts — there is no
+    point-side shuffle to skew.
     """
     spark = points.sparkSession
 
@@ -406,13 +449,20 @@ def pip_join(
         F.explode(F.array(*[cellmod.cell_col(F.col("lon"), F.col("lat"), lv) for lv in levels])),
     )
 
+    if not broadcast_polys and salt_factor is None:
+        salt_factor = auto_salt_factor(pts, min(levels))
+        log.info("pip_join auto salt factor: %d", salt_factor)
+
     if salt_factor and salt_factor > 1:
         s = salt_factor
         pts_cells = pts_cells.withColumn(
             "salt", F.pmod(F.hash(*[F.col(c) for c in point_cols]), F.lit(s))
         )
         salts = spark.range(s).select(F.col("id").cast("int").alias("salt"))
-        cover = cover.crossJoin(salts)
+        # explicit hint: the s-row replicate must broadcast even when
+        # the session disables autoBroadcastJoinThreshold (otherwise
+        # Spark plans a CartesianProduct for the cross join)
+        cover = cover.crossJoin(F.broadcast(salts))
         join_keys = ["cell_id", "salt"]
     else:
         join_keys = ["cell_id"]
