@@ -823,16 +823,20 @@ def embed_standardize(embeddings: DataFrame) -> DataFrame:
     normalization is map-side. Output exploded as (vec_id, pos, z) —
     constant-width rows, no array-of-double hashing ambiguity.
 
-    Overflow headroom: sum(v^2) <= rows * 1e12 fits int64 up to ~9e6
-    rows per dimension; widen the ss accumulator to DECIMAL(38,0)
-    beyond that (the mean/variance trees are unchanged).
+    Overflow headroom: each element's v^2 <= 1e12 fits int64, but the
+    SUM wraps at ~9e6 rows per dimension, so both moment accumulators
+    are DECIMAL(38,0) (exact integers to 1e38 — safe past 1e25 rows;
+    DuckDB mirrors with its exact HUGEINT sum). The mean/variance
+    trees are unchanged: an exact integer converts to the same nearest
+    double from DECIMAL(38,0) or HUGEINT (tests/test_kmeans.py
+    overflow test runs 10M rows where the BIGINT path would wrap).
     """
     q = _quantized(embeddings).select(
         "vec_id", F.posexplode("q").alias("pos", "v")
     )
     stats = q.groupBy("pos").agg(
-        F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ss"),
         F.count("*").alias("n"),
     )
     mean = F.col("s").cast("double") / F.col("n").cast("double")
@@ -865,8 +869,11 @@ WITH q AS (
   ), unnest(generate_series(1, len(qv))) AS t(i)
 ),
 st AS (
-  SELECT pos, CAST(sum(v) AS BIGINT) AS s,
-         CAST(sum(v * v) AS BIGINT) AS ss, count(*) AS n
+  -- DuckDB's sum(BIGINT) is an exact HUGEINT; keep it wide (the
+  -- BIGINT cast here would ERROR past ~9e6 rows/dim, mirroring the
+  -- Spark side's old silent wrap — both sides now stay exact and
+  -- convert the SAME integer to double)
+  SELECT pos, sum(v) AS s, sum(v * v) AS ss, count(*) AS n
   FROM q GROUP BY pos
 ),
 m AS (

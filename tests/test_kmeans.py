@@ -171,3 +171,59 @@ def test_embed_standardize_matches_numpy(spark, sf_dir):
         zs[ids[r["vec_id"]], r["pos"]] = r["z"]
     assert np.allclose(zs.mean(axis=0), 0.0, atol=1e-9)
     assert np.allclose(zs.std(axis=0), 1.0, atol=1e-9)
+
+
+def test_embed_standardize_survives_bigint_overflow(spark, tmp_path):
+    """VERDICT r3 #7: 10M rows x v^2=1e12 puts sum(v^2) at 1e19 — past
+    int64 max (9.2e18), where the old BIGINT accumulator wrapped
+    silently (non-ANSI) or errored (ANSI). The DECIMAL(38,0) moments
+    stay exact; z-scores match the closed form AND DuckDB's HUGEINT
+    oracle on the same parquet."""
+    import duckdb
+    import math
+
+    n = 10_000_000
+    # v alternates +-1e6 micro-units with a 0.5 sprinkled every 1M rows
+    emb = spark.range(n).selectExpr(
+        "concat('v', id) AS vec_id",
+        "array(CASE WHEN id % 1000000 = 7 THEN cast(0.5 as float) "
+        "WHEN id % 2 = 0 THEN cast(1.0 as float) "
+        "ELSE cast(-1.0 as float) END) AS embedding",
+    )
+    q = similarity._quantized(emb).select("vec_id", F.col("q")[0].alias("v"))
+    agg = q.agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ss"),
+        F.count("*").alias("cnt"),
+    ).collect()[0]
+    assert int(agg["ss"]) > 2**63 - 1  # the BIGINT path WOULD wrap
+    mean = int(agg["s"]) / n
+    sd = math.sqrt(int(agg["ss"]) / n - mean * mean)
+    z = similarity.embed_standardize(emb)
+    got = sorted(
+        (r["v"], r["z"], r["c"])
+        for r in z.join(q, "vec_id")
+        .groupBy("v", "z").agg(F.count("*").alias("c")).collect()
+    )
+    assert [v for v, _z, _c in got] == [-1_000_000, 500_000, 1_000_000]
+    for v, zv, _c in got:
+        assert zv == (v - mean) / sd  # bit-exact: one shared double tree
+    assert sum(c for _v, _z, c in got) == n
+
+    # DuckDB oracle on the same rows (HUGEINT sum side)
+    pq = str(tmp_path / "emb")
+    emb.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{pq}/*.parquet')"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(
+            "SELECT v, z, count(*) FROM (SELECT q.v AS v, z.z AS z FROM ("
+            + similarity.SQL_EMBED_STANDARDIZE
+            + ") z JOIN (SELECT vec_id, CAST(floor(CAST(embedding[1] AS DOUBLE)"
+            " * 1000000) AS BIGINT) AS v FROM embeddings) q USING (vec_id))"
+            " GROUP BY v, z ORDER BY v"
+        ).fetchall())
+    )
+    assert [(v, zv, c) for v, zv, c in oracle] == got
