@@ -106,9 +106,13 @@ def summarize_blob(
         return quick_shapefile_summary(blob)
     if size is None or size >= ABBREVIATE_SUMMARY_SIZE:
         return abbreviated_summary()
-    import base64
     import json
 
+    # Fan the blob out BEFORE the parse UDF (VERDICT r3 #9): one
+    # document per independent parse unit (GeoJSON feature / KMZ zip
+    # entry), so a multi-entry archive parallelizes across tasks
+    # instead of sitting on one core. A monolithic KML stays one unit —
+    # a single XML document has no safe split point.
     if fmt == "geojson":
         # A GeoJSON blob is a FeatureCollection; one geometry span per
         # feature (the decoder's features.* stream). A collection-level
@@ -116,17 +120,26 @@ def summarize_blob(
         obj = json.loads(blob)
         feats = obj.get("features", [obj]) if isinstance(obj, dict) else []
         fc_crs = obj.get("crs") if isinstance(obj, dict) else None
-        spans = []
-        for i, f in enumerate(feats):
+        units = []
+        for f in feats:
             if fc_crs is not None and isinstance(f, dict) and "crs" not in f:
                 f = {**f, "crs": fc_crs}
-            spans.append(("geometry", json.dumps(f), "", i))
+            units.append(json.dumps(f))
     elif fmt == "kmz":  # shapefile never reaches here (quick path above)
-        spans = [("geometry", base64.b64encode(blob).decode(), "", 0)]
+        # split per .kml entry (zip order — kmz.js:18-134 concatenates
+        # entries, and entry order == doc_id order here) and hand each
+        # to the plain-KML decoder as its own unit
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            units = [
+                zf.read(info).decode("utf-8", "replace")
+                for info in zf.infolist()
+                if info.filename.lower().endswith(".kml") and not info.is_dir()
+            ]
+        fmt = "kml"
     else:  # kml text
-        spans = [("geometry", blob.decode("utf-8", "replace"), "", 0)]
+        units = [blob.decode("utf-8", "replace")]
     docs = spark.createDataFrame(
-        [("blob-0", spans)],
+        [(f"blob-{i:06d}", [("geometry", u, "", 0)]) for i, u in enumerate(units)],
         "doc_id string, spans array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>",
     )

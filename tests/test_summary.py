@@ -112,3 +112,30 @@ def test_full_summary_kml_blob(spark):
     assert len(out) == 1
     assert out[0]["count"] == 2
     assert out[0]["geomType"] == "point"
+
+
+def test_kmz_summary_fans_out_per_entry(spark, monkeypatch):
+    """VERDICT r3 #9: a multi-entry KMZ must not parse on one task —
+    summarize_blob splits one document per .kml entry before the parse
+    UDF (entry order preserved), so the parse stage parallelizes."""
+    kml_a = open(f"{FIX}/simple_points.kml", "rb").read()
+    kml_b = open(f"{FIX}/simple_lines.kml", "rb").read()
+    blob = _zip({"a.kml": kml_a, "sub/b.kml": kml_b, "notes.txt": b"x"})
+
+    captured = {}
+    real = summod.full_summary
+
+    def spy(sp, docs, fmt, specs=None):
+        captured["n_docs"] = docs.count()
+        captured["parts"] = docs.rdd.getNumPartitions()
+        captured["fmt"] = fmt
+        return real(sp, docs, fmt, specs=specs)
+
+    monkeypatch.setattr(summod, "full_summary", spy)
+    s = summod.summarize_blob(spark, blob, "kmz", size=len(blob))
+    assert captured["n_docs"] == 2      # one document per .kml entry
+    assert captured["parts"] > 1        # the parse stage gets >1 task
+    assert captured["fmt"] == "kml"
+    # both entries' layers surface: a point layer and a line layer
+    assert sorted(e["geomType"] for e in s) == ["line", "point"]
+    assert sum(e["count"] for e in s) == 4  # 2 points + 2 lines
