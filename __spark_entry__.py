@@ -488,6 +488,28 @@ def _simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: exact per-zone n/sum/min/max + closed-form
+    mean of the integer-valued point attribute a_num, zones tested by
+    the exact PIP (operators/spatialstats.zonal_stats; value rides the
+    cell join as a point_col — one pass over the point side)."""
+    from geo_import_spark.operators import spatialstats as spstats
+
+    pts = _parse_points(spark, sf_dir).withColumn(
+        "value", F.get_json_object("properties", "$.a_num").cast("double")
+    )
+    polys = corpus.polygons(spark, sf_dir)
+    return spstats.zonal_stats(pts, polys)
+
+
+def _ring_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon ring perimeter (planar degrees): ordered
+    codegen-native sqrt fold, map-only (operators/geomops.
+    ring_perimeter); mirror expands the rectangle ring to the same
+    left-associated sum."""
+    return geomopsmod.ring_perimeter(corpus.polygons(spark, sf_dir))
+
+
 def _layer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8/A4 mega-bbox: per-layer polygon bbox + count aggregate."""
     polys = corpus.polygons(spark, sf_dir)
@@ -1530,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": _radius_join,
         "convex_hull": _convex_hull,
         "simplify_lines": _simplify_lines,
+        "zonal_stats": _zonal_stats,
+        "ring_perimeter": _ring_perimeter,
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,
@@ -2099,6 +2123,8 @@ def oracle_sql() -> dict[str, str]:
         "geom_stats": _SQL_GEOM_STATS,
         "convex_hull": geomopsmod.sql_convex_hull(SQL_POINTS),
         "simplify_lines": geomopsmod.sql_simplify_ring7(SQL_POLYGONS),
+        "zonal_stats": spatialstats.sql_zonal_stats(SQL_POINTS, SQL_POLYGONS),
+        "ring_perimeter": geomopsmod.sql_rect_perimeter(SQL_POLYGONS),
         "overlay_area": _SQL_OVERLAY,
         "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,

@@ -439,3 +439,64 @@ SELECT line_id, CAST(7 AS BIGINT) AS n_in,
        CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_out
 FROM kept GROUP BY line_id
 """
+
+
+def ring_perimeter(polygons: DataFrame) -> DataFrame:
+    """Per-polygon perimeter (planar degrees): the ordered fold of
+    sqrt(dx^2 + dy^2) over consecutive vertex pairs, skipping edges
+    that cross a ring boundary (ring_offsets), all inside one
+    codegen-native higher-order expression — map-only, no shuffle, no
+    Python.
+
+    Bit-exactness: mul/add/sqrt are correctly-rounded IEEE ops, and
+    F.aggregate folds LEFT-TO-RIGHT in vertex order — the DuckDB
+    mirror (sql_rect_perimeter) writes the same left-associated sum,
+    so the final double hash-matches (no trig, whose libm rounding is
+    NOT guaranteed identical across engines — the same reason the knn
+    oracle ranks on planar squared distance).
+
+    Output: (poly_id, n_vertices, perimeter_deg).
+    """
+    xs, ys, ro = F.col("geom.xs"), F.col("geom.ys"), F.col("geom.ring_offsets")
+    n = F.size(xs)
+    j1 = lambda j: j + 1          # 0-based vertex -> 1-based element_at
+    j2 = lambda j: j + 2
+    dx = lambda j: F.element_at(xs, j2(j)) - F.element_at(xs, j1(j))
+    dy = lambda j: F.element_at(ys, j2(j)) - F.element_at(ys, j1(j))
+    edge = lambda j: F.when(
+        F.array_contains(ro, j + 1), F.lit(0.0)  # ring boundary: no edge
+    ).otherwise(F.sqrt(dx(j) * dx(j) + dy(j) * dy(j)))
+    perim = F.aggregate(
+        F.sequence(F.lit(0), n - 2),
+        F.lit(0.0),
+        lambda acc, j: acc + edge(j),
+    )
+    return polygons.select(
+        "poly_id",
+        n.cast("long").alias("n_vertices"),
+        perim.alias("perimeter_deg"),
+    )
+
+
+def sql_rect_perimeter(sql_polygons: str) -> str:
+    """DuckDB mirror for the rectangle corpus: vertex ring
+    [(minx,miny),(maxx,miny),(maxx,maxy),(minx,maxy),(minx,miny)]
+    expanded to the same four sqrt terms in the same left-associated
+    order as ring_perimeter's fold (0.0 + e0 + e1 + e2 + e3; each
+    edge keeps its literal dx/dy algebra so every intermediate double
+    is identical)."""
+    edges = [
+        ("maxx - minx", "miny - miny"),
+        ("maxx - maxx", "maxy - miny"),
+        ("minx - maxx", "maxy - maxy"),
+        ("minx - minx", "miny - maxy"),
+    ]
+    chain = "0.0"
+    for dx, dy in edges:
+        chain = f"({chain} + sqrt(({dx}) * ({dx}) + ({dy}) * ({dy})))"
+    return f"""
+WITH polys AS ({sql_polygons})
+SELECT poly_id, CAST(5 AS BIGINT) AS n_vertices,
+       {chain} AS perimeter_deg
+FROM polys
+"""

@@ -339,3 +339,68 @@ stats AS (
 SELECT hq, hr, n, w, g, {z} AS z
 FROM occupied CROSS JOIN stats
 """
+
+
+def zonal_stats(points: DataFrame, polygons: DataFrame,
+                value_col: str = "value") -> DataFrame:
+    """Zonal statistics — the standard geo-analytics reduction: for
+    each polygon zone, aggregate the values of the points it contains
+    (raster zonal stats with the engine's exact vector PIP as the
+    zone test).
+
+    Exactness: the value is quantized to BIGINT by the caller (the
+    registered query uses the integer-valued a_num), so n / sum / min
+    / max reduce exactly; mean is ONE closed-form double over the
+    reduced integers — hash-identical across engines.
+
+    Plan: pip_join's auto broadcast/shuffle cell join produces the
+    (point, zone) pairs; the value rides through the join as a
+    point_col (ONE pass over the point side — no join-back that would
+    re-parse it), so the only extra work over the PIP itself is one
+    map-side-combined aggregate keyed by poly_id (zone
+    cardinality-sized output). Output:
+    (poly_id, n_points, sum_val, min_val, max_val, mean_val).
+    """
+    from geo_import_spark.operators import pip as pipmod
+
+    pts = points.select(
+        "doc_id", "span_offset", "lon", "lat",
+        F.col(value_col).cast("long").alias("v"),
+    )
+    joined = pipmod.pip_join(
+        pts, polygons, point_cols=("doc_id", "span_offset", "v")
+    )
+    agg = joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("v").alias("sum_val"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    return agg.select(
+        "poly_id", "n_points", "sum_val", "min_val", "max_val",
+        (F.col("sum_val").cast("double") / F.col("n_points").cast("double"))
+        .alias("mean_val"),
+    )
+
+
+def sql_zonal_stats(sql_points: str, sql_polygons: str) -> str:
+    """DuckDB mirror: the strict-bbox containment oracle (the corpus
+    zones are rectangles) + the identical exact aggregate tree."""
+    return f"""
+WITH pts AS ({sql_points}), polys AS ({sql_polygons}),
+hits AS (
+  SELECT g.poly_id, CAST(p.a_num AS BIGINT) AS v
+  FROM pts p JOIN polys g
+    ON p.lon > g.minx AND p.lon < g.maxx
+   AND p.lat > g.miny AND p.lat < g.maxy
+),
+agg AS (
+  SELECT poly_id, COUNT(*) AS n_points,
+         CAST(SUM(v) AS BIGINT) AS sum_val,
+         MIN(v) AS min_val, MAX(v) AS max_val
+  FROM hits GROUP BY poly_id
+)
+SELECT poly_id, n_points, sum_val, min_val, max_val,
+       CAST(sum_val AS DOUBLE) / CAST(n_points AS DOUBLE) AS mean_val
+FROM agg
+"""

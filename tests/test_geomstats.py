@@ -119,3 +119,58 @@ def test_grid_density_counts_match_bruteforce_and_plan_is_jvm(spark, sf_dir):
         assert (r["lon_min"], r["lat_min"], r["lon_max"], r["lat_max"]) == (a, b, d, e)
     plan = tiling.grid_density(pts, level=6)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_ring_perimeter_multi_ring_skips_boundary_edges(spark):
+    """A holed polygon (shell + inner ring) must sum each ring's own
+    edges and NOT the phantom edge from the shell's last vertex to the
+    hole's first (the ring_offsets guard)."""
+    from pyspark.sql import functions as F
+
+    from geo_import_spark.operators import geomops
+
+    geom = F.struct(
+        F.lit("Polygon").alias("gtype"),
+        F.array(F.lit(0), F.lit(2)).alias("part_offsets"),
+        F.array(F.lit(0), F.lit(5), F.lit(10)).alias("ring_offsets"),
+        # shell 10x10, hole 2x2 => perimeters 40 + 8
+        F.array(*[F.lit(float(v)) for v in [0, 10, 10, 0, 0, 4, 6, 6, 4, 4]]).alias("xs"),
+        F.array(*[F.lit(float(v)) for v in [0, 0, 10, 10, 0, 4, 4, 6, 6, 4]]).alias("ys"),
+    )
+    df = spark.range(1).select(F.lit("p0").alias("poly_id"), geom.alias("geom"))
+    row = geomops.ring_perimeter(df).collect()[0]
+    assert row["n_vertices"] == 10
+    assert row["perimeter_deg"] == 48.0
+
+
+def test_zonal_stats_matches_brute_force(spark, sf_dir):
+    """zonal_stats equals the per-zone aggregate of a brute-force
+    bbox containment pass."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from geo_import_spark import corpus
+
+    got = {
+        r["poly_id"]: (r["n_points"], r["sum_val"], r["min_val"],
+                       r["max_val"], r["mean_val"])
+        for r in entrymod.queries()["zonal_stats"](spark, sf_dir).collect()
+    }
+    pts = [
+        (r["lon"], r["lat"], int(json.loads(r["properties"])["a_num"]))
+        for r in entrymod._parse_points(spark, sf_dir).collect()
+    ]
+    polys = corpus.polygons(spark, sf_dir).select(
+        "poly_id", "minx", "miny", "maxx", "maxy"
+    ).collect()
+    expect = {}
+    for g in polys:
+        vs = [v for lon, lat, v in pts
+              if g["minx"] < lon < g["maxx"] and g["miny"] < lat < g["maxy"]]
+        if vs:
+            expect[g["poly_id"]] = (
+                len(vs), sum(vs), min(vs), max(vs), sum(vs) / len(vs)
+            )
+    assert got == expect
