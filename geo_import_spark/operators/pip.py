@@ -514,3 +514,47 @@ def pip_join(
         pip_contains("lon", "lat", "ring_offsets", "xs", "ys")
     )
     return refined.select(*point_cols, "poly_id")
+
+
+def pip_join_prebucketed(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int,
+    point_cols: tuple[str, ...] = ("doc_id", "span_offset"),
+) -> DataFrame:
+    """PIP against a SPATIALLY CO-LOCATED point table: `points` carries
+    a stored `cell_id` at a fixed `level` (cells.cell_col) and was
+    written bucketed by it (plans/bucketed.write_bucketed), so the
+    cell equi-join needs NO point-side Exchange — at 100 TB the point
+    table never shuffles across repeated PIP queries; only the
+    polygon cover (orders of magnitude smaller) repartitions to match
+    the bucket layout. The pay-once spatial twin of the bucketed
+    doc_id joins.
+
+    Tradeoff vs pip_join's adaptive cover: the cover is forced to the
+    layout's fixed level, so continent-sized polygons fan out to more
+    cover cells (bounded by their bbox area at `level`) instead of
+    climbing to a coarser level. Semantics are identical — strict bbox
+    prefilter + exact even-odd ray cast (tests compare against
+    pip_join's broadcast plan row-for-row).
+    """
+    # force every polygon's cover to the layout's level: a cover cell
+    # budget of a full level-`level` grid can never bind
+    cover = polygon_covering(polygons, base_level=level,
+                             max_cells=(1 << level) ** 2 * 2)
+    cand = points.select(*point_cols, "lon", "lat", "cell_id").join(
+        cover, "cell_id"
+    ).filter(
+        (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
+    ).select(*point_cols, "lon", "lat", "poly_id")
+    polys_geom = polygons.select(
+        "poly_id",
+        F.col("geom.ring_offsets").alias("ring_offsets"),
+        F.col("geom.xs").alias("xs"),
+        F.col("geom.ys").alias("ys"),
+    )
+    refined = cand.join(polys_geom, "poly_id").filter(
+        pip_contains("lon", "lat", "ring_offsets", "xs", "ys")
+    )
+    return refined.select(*point_cols, "poly_id")
