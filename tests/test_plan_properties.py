@@ -84,3 +84,26 @@ def test_grid_density_single_shuffle_jvm_only(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_ring_perimeter_is_map_only_jvm(spark, sf_dir):
+    import re
+
+    p = _plan(spark, sf_dir, "ring_perimeter")
+    # pure map over the polygon generator: no SHUFFLE exchange (the
+    # generator's hinted replicate BroadcastExchange is fine), no Python
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_zonal_stats_single_aggregate_over_broadcast_pip(spark, sf_dir):
+    import re
+
+    p = _plan(spark, sf_dir, "zonal_stats")
+    # the PIP is the broadcast plan (one Arrow ray cast); the only
+    # point-side shuffles are the deliberate single-file spread_scan
+    # repartition and the ONE map-side-combined zone aggregate
+    assert "BroadcastHashJoin" in p
+    assert p.count("ArrowEvalPython") <= 2  # span parse + ray cast
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "HashAggregate" in p
