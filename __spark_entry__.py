@@ -638,6 +638,13 @@ def _simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
 
+def _simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-ball near-dup pairs: banded 7-bit buckets (full
+    recall at hamming <= bands-1 by pigeonhole) + exact popcount(xor)
+    filter (operators/dedup.simhash_pairs)."""
+    return dedupmod.simhash_pairs(_docs(spark, sf_dir))
+
+
 def _ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup pairs via df-capped shingle join (no all-pairs)."""
     return dedupmod.ngram_jaccard_pairs(
@@ -1602,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
         "ngram_jaccard": _ngram_jaccard,
+        "simhash_pairs": _simhash_pairs,
         "minhash_signatures": _minhash_sig,
         "minhash_lsh_pairs": _minhash_lsh,
         "dedup_clusters": _dedup_clusters,
@@ -2242,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedupmod.SQL_NGRAM_JACCARD.format(
             threshold=JACCARD_THRESHOLD, max_df_frac=JACCARD_MAX_DF_FRAC
         ),
+        "simhash_pairs": dedupmod.sql_simhash_pairs(),
         "minhash_signatures": dedupmod.SQL_MINHASH_SIG,
         "minhash_lsh_pairs": dedupmod.SQL_MINHASH_LSH_PAIRS,
         "dedup_clusters": dedupmod.SQL_DUP_CLUSTERS,

@@ -395,3 +395,94 @@ walk(doc_id, label) AS (
 )
 SELECT doc_id, MIN(label) AS cluster_rep FROM walk GROUP BY doc_id
 """
+
+
+SIMHASH_BITS = 28
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs, banded — the third classic
+    pair generator next to minhash_lsh_pairs / ngram_jaccard_pairs.
+
+    The 28-bit signature (textops.simhash) splits into `bands`
+    disjoint 7-bit bands; by pigeonhole, any pair within Hamming
+    distance `bands - 1` agrees EXACTLY on at least one band, so
+    candidates are pairs sharing a (band_idx, band_value) bucket —
+    a bucket equi-join, never all-pairs — and the exact
+    popcount(xor) filter keeps dist <= max_hamming. Recall is
+    COMPLETE for max_hamming <= bands - 1 (the default 3 <= 4 - 1).
+
+    Band extraction uses div/mod (identical integer semantics in the
+    SQL mirror); hamming is bit_count(a XOR b) — exact integers end
+    to end. Output: (doc_a, doc_b, hamming), distinct.
+
+    Scale: same shape as the MinHash LSH join — signatures are one
+    map pass, buckets shuffle once on (band, value), and a hot bucket
+    (a boilerplate-heavy corpus where thousands of docs share a band)
+    is the same skew class the LSH path handles; cap bucket size
+    upstream if a corpus plants one.
+    """
+    from geo_import_spark.operators import textops
+
+    width = SIMHASH_BITS // bands
+    sigs = textops.simhash(documents)
+    b = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(
+                        f"(simhash div {1 << (width * i)}) % {1 << width}"
+                    ).alias("val"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a, c = b.alias("a"), b.alias("c")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
+    ).cast("long")
+    return (
+        a.join(c, (F.col("a.band") == F.col("c.band"))
+               & (F.col("a.val") == F.col("c.val"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def sql_simhash_pairs(
+    bands: int = SIMHASH_BANDS, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    """DuckDB mirror: same div/mod band split, same popcount(xor)."""
+    from geo_import_spark.operators import textops
+
+    width = SIMHASH_BITS // bands
+    return f"""
+WITH s AS ({textops.SQL_SIMHASH}),
+b AS (
+  SELECT doc_id, simhash, i.band,
+         (simhash // CAST(pow(2, {width} * i.band) AS BIGINT))
+           % {1 << width} AS val
+  FROM s CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) i
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+FROM b a JOIN b c
+  ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}
+"""
