@@ -87,18 +87,30 @@ def morans_i(points: DataFrame) -> DataFrame:
     # two occupied cells are rook-adjacent (empty pairs frame -> SUM
     # is NULL); w_pairs = 0 then NULLs the statistic on both sides
     # instead of dividing by zero (ADVICE r3).
+    #
+    # Overflow headroom: |di| <= n_cells*N, so di*dj reaches ~1.7e7*N^2
+    # — past int64 for a skewed corpus well under sf1. The products
+    # and their sums accumulate as exact DECIMAL(38,0) (mirrored by
+    # DuckDB's HUGEINT), and num/den are EXPOSED as doubles — both
+    # engines convert the same exact integer to the same nearest
+    # double, so the hash contract is unchanged by the widening.
+    dd = lambda c: F.col(c).cast("decimal(19,0)")
     pstats = pairs.agg(
         F.count(F.lit(1)).alias("w_pairs"),
-        F.coalesce(F.sum(F.col("di") * F.col("dj")), F.lit(0)).alias("num"),
+        F.coalesce(
+            F.sum(dd("di") * dd("dj")), F.lit(0).cast("decimal(38,0)")
+        ).cast("double").alias("num"),
     )
-    dstats = d.agg(F.max("n_cells").alias("n_cells"),
-                   F.sum(F.col("di") * F.col("di")).alias("den"))
+    dstats = d.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.sum(dd("di") * dd("di")).cast("double").alias("den"),
+    )
     return dstats.crossJoin(F.broadcast(pstats)).select(
         "n_cells", "w_pairs", "num", "den",
         F.when(
             F.col("w_pairs") > 0,
-            (F.col("n_cells").cast("double") * F.col("num").cast("double"))
-            / (F.col("w_pairs").cast("double") * F.col("den").cast("double")),
+            (F.col("n_cells").cast("double") * F.col("num"))
+            / (F.col("w_pairs").cast("double") * F.col("den")),
         ).alias("morans_i"),
     )
 
@@ -119,13 +131,14 @@ pairs AS (
   FROM d a JOIN d b ON abs(a.x - b.x) + abs(a.y - b.y) = 1
 ),
 ps AS (SELECT count(*) AS w_pairs,
-              CAST(COALESCE(SUM(di * dj), 0) AS BIGINT) AS num FROM pairs),
+              CAST(COALESCE(SUM(CAST(di AS HUGEINT) * dj), 0) AS DOUBLE)
+                AS num FROM pairs),
 ds AS (SELECT MAX(n_cells) AS n_cells,
-              CAST(SUM(di * di) AS BIGINT) AS den FROM d)
+              CAST(SUM(CAST(di AS HUGEINT) * di) AS DOUBLE) AS den FROM d)
 SELECT n_cells, w_pairs, num, den,
        CASE WHEN w_pairs > 0 THEN
-         (CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE))
-           / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))
+         (CAST(n_cells AS DOUBLE) * num)
+           / (CAST(w_pairs AS DOUBLE) * den)
        END AS morans_i
 FROM ds, ps
 """
