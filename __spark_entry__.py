@@ -93,6 +93,20 @@ def _sql_trajectory_stats() -> str:
     return SQL_TRAJECTORY_STATS
 
 
+def _sql_walk_staypoints() -> str:
+    from geo_import_spark.operators import trajectory
+
+    return trajectory.sql_staypoints(trajectory.SQL_WALK_POINTS)
+
+
+def _sql_od_matrix() -> str:
+    from geo_import_spark.operators import trajectory
+
+    return trajectory.sql_od_matrix(
+        trajectory.sql_staypoints(trajectory.SQL_WALK_POINTS)
+    )
+
+
 def _sql_frame_diff() -> str:
     from geo_import_spark.operators.reconcile import sql_frame_diff
 
@@ -708,6 +722,35 @@ def _trajectory_stats(spark, sf_dir):
 
     return trajectory.trajectory_stats(
         trajectory.order_points_u(spark, sf_dir)
+    )
+
+
+def _walk_staypoints(spark, sf_dir):
+    """Staypoint detection over the dwell-site walk corpus: eps-hop
+    run segmentation via one lag window + running sum, single shuffle
+    on the track key."""
+    from geo_import_spark.operators import trajectory
+
+    return trajectory.staypoints(trajectory.walk_points(spark, sf_dir))
+
+
+def _od_matrix(spark, sf_dir):
+    """Origin-destination trip matrix between consecutive staypoints,
+    bucketed into power-of-two zone cells (staypoints -> lead window ->
+    one map-side-combining groupBy)."""
+    from geo_import_spark.operators import trajectory
+
+    return trajectory.od_matrix(
+        trajectory.staypoints(trajectory.walk_points(spark, sf_dir))
+    )
+
+
+def _snap_to_segment(spark, sf_dir):
+    """Map matching: each point within 0.02 deg of a segment snapped to
+    the closest point of its nearest segment (cell equi-join candidates
+    + exact integer distance ranking)."""
+    return linejoin.snap_to_segment(
+        _box_points_u(spark, sf_dir), corpus.line_segments_a(spark, sf_dir)
     )
 
 
@@ -1594,6 +1637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": _geohash_encode,
         "geohash_rollup": _geohash_rollup,
         "trajectory_stats": _trajectory_stats,
+        "walk_staypoints": _walk_staypoints,
+        "od_matrix": _od_matrix,
+        "snap_to_segment": _snap_to_segment,
         "range_fences": _range_fences,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
@@ -2233,6 +2279,11 @@ def oracle_sql() -> dict[str, str]:
         "geohash_encode": _sql_geohash_encode(),
         "geohash_rollup": _sql_geohash_rollup(),
         "trajectory_stats": _sql_trajectory_stats(),
+        "walk_staypoints": _sql_walk_staypoints(),
+        "od_matrix": _sql_od_matrix(),
+        "snap_to_segment": linejoin.sql_snap_to_segment(
+            SQL_BOX_POINTS_U, corpus.SQL_SEGMENTS_A
+        ),
         "range_fences": _sql_range_fences(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,

@@ -30,7 +30,7 @@ nearest_poly) the north rule's spatial-join engine needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SEG_GRID = 131072  # 2^17 micro-degrees (~0.13 deg) per cell
@@ -375,4 +375,132 @@ WITH p AS ({sql_points_u}), s AS ({sql_segments})
 SELECT p.pt_id AS pt_id, s.line_id AS line_id
 FROM p CROSS JOIN s
 WHERE {pred}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snap-to-segment (map matching): each point within NEAR_RADIUS_U of any
+# segment snaps to its NEAREST segment's closest point.
+# ---------------------------------------------------------------------------
+
+def _snap_exprs(wide_sq, floorcast, px="px", py="py", x1="x1", y1="y1",
+                x2="x2", y2="y2") -> dict:
+    """SQL expression strings for the snap: `dist_key` (double ranking
+    key — the exact squared point-segment distance, scaled identically
+    on both engines) and the snapped coordinates `sx`, `sy`.
+
+    Determinism: dot, d2 and the endpoint squares are exact int64
+    (candidate offsets <= grid + |d| + R ~ 2.5e5, so dot <= 5e10 and
+    dot*dx <= 5e15 < 2^53 — exactly representable doubles). cross^2
+    can reach ~2.5e21, so `wide_sq` squares it in a 128-bit type
+    (DECIMAL(38,0) / HUGEINT) whose -> double conversion is correctly
+    rounded in both engines. Every exposed value is then ONE identical
+    closed-form IEEE expression per engine — floor-of-rounded-quotient
+    included, which need not be the true floor but is bit-identical
+    across engines (the only contract that matters).
+    """
+    dx, dy = f"(({x2}) - ({x1}))", f"(({y2}) - ({y1}))"
+    ex, ey = f"(({px}) - ({x1}))", f"(({py}) - ({y1}))"
+    fx, fy = f"(({px}) - ({x2}))", f"(({py}) - ({y2}))"
+    d2 = f"({dx}*{dx} + {dy}*{dy})"
+    dot = f"({ex}*{dx} + {ey}*{dy})"
+    cross = f"({ex}*{dy} - {ey}*{dx})"
+    dist_key = (
+        f"CASE WHEN {dot} <= 0 THEN CAST({ex}*{ex} + {ey}*{ey} AS DOUBLE)"
+        f" WHEN {dot} >= {d2} THEN CAST({fx}*{fx} + {fy}*{fy} AS DOUBLE)"
+        f" ELSE CAST({wide_sq.format(x=cross)} AS DOUBLE)"
+        f" / CAST({d2} AS DOUBLE) END"
+    )
+    def snap(a1, a2, da):
+        interp = floorcast.format(
+            v=f"CAST({dot}*{da} AS DOUBLE) / CAST({d2} AS DOUBLE)"
+        )
+        return (
+            f"CASE WHEN {dot} <= 0 THEN {a1}"
+            f" WHEN {dot} >= {d2} THEN {a2}"
+            f" ELSE {a1} + {interp} END"
+        )
+    return {
+        "dist_key": dist_key,
+        "sx": snap(x1, x2, dx),
+        "sy": snap(y1, y2, dy),
+    }
+
+
+_FLOOR_SPARK = "FLOOR({v})"
+_FLOOR_DUCK = "CAST(floor({v}) AS BIGINT)"
+
+
+def snap_to_segment(points_u: DataFrame, segments: DataFrame,
+                    grid: int = SEG_GRID) -> DataFrame:
+    """(pt_id, line_id, sx, sy): each point within NEAR_RADIUS_U of any
+    segment, snapped to the closest point of its NEAREST segment.
+
+    Plan: the same single cell equi-join as near_segment_join generates
+    candidates (point maps to ONE cell; the R-inflated segment bbox
+    explodes into a bounded handful), the exact near predicate filters
+    JVM-side, and one window on pt_id picks the min-distance segment
+    (ties broken by line_id — a total order, so the winner is unique
+    and the hash contract deterministic). Two shuffles total: the cell
+    join and the per-point window — both keyed, both AQE-coalesced; no
+    per-row Python anywhere.
+    """
+    g = float(grid)
+    r = NEAR_RADIUS_U
+    pc = points_u.select(
+        "pt_id",
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.floor(F.col("x") / g).cast("long").alias("cx"),
+        F.floor(F.col("y") / g).cast("long").alias("cy"),
+    )
+    lo = lambda a, b: F.floor((F.least(a, b) - r) / g).cast("long")  # noqa: E731
+    hi = lambda a, b: F.floor((F.greatest(a, b) + r) / g).cast("long")  # noqa: E731
+    sc = segments.select(
+        "line_id", "x1", "y1", "x2", "y2",
+        F.explode(F.sequence(lo("x1", "x2"), hi("x1", "x2"))).alias("cx"),
+    ).select(
+        "line_id", "x1", "y1", "x2", "y2", "cx",
+        F.explode(F.sequence(lo("y1", "y2"), hi("y1", "y2"))).alias("cy"),
+    )
+    e = _snap_exprs(_WIDE_SPARK, _FLOOR_SPARK)
+    cand = (
+        pc.join(sc, ["cx", "cy"])
+        .filter(F.expr(NEAR_PRED_SPARK))
+        .select(
+            "pt_id", "line_id",
+            F.expr(e["dist_key"]).alias("dist_key"),
+            F.expr(e["sx"]).alias("sx"),
+            F.expr(e["sy"]).alias("sy"),
+        )
+    )
+    w = Window.partitionBy("pt_id").orderBy("dist_key", "line_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pt_id", "line_id", "sx", "sy")
+    )
+
+
+def sql_snap_to_segment(sql_points_u: str, sql_segments: str) -> str:
+    """Oracle: exact predicate over a direct join, identical snap
+    expressions (HUGEINT square), same (dist_key, line_id) tiebreak."""
+    kw = dict(px="p.x", py="p.y", x1="s.x1", y1="s.y1",
+              x2="s.x2", y2="s.y2")
+    pred = _near_pred(_WIDE_DUCK, **kw)
+    e = _snap_exprs(_WIDE_DUCK, _FLOOR_DUCK, **kw)
+    return f"""
+WITH p AS ({sql_points_u}), s AS ({sql_segments}),
+cand AS (
+  SELECT p.pt_id AS pt_id, s.line_id AS line_id,
+         {e['dist_key']} AS dist_key,
+         {e['sx']} AS sx, {e['sy']} AS sy
+  FROM p CROSS JOIN s
+  WHERE {pred}
+)
+SELECT pt_id, line_id, sx, sy
+FROM (SELECT *, row_number() OVER (PARTITION BY pt_id
+                                   ORDER BY dist_key, line_id) AS rn
+      FROM cand)
+WHERE rn = 1
 """

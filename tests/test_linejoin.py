@@ -241,3 +241,86 @@ def test_near_segment_join_no_dedup_shuffle_needed(spark, sf_dir):
     )
     total = df.count()
     assert df.distinct().count() == total
+
+
+def test_snap_to_segment_matches_bruteforce(spark, sf_dir):
+    """Winner, snapped coords, and membership vs a Python brute force
+    that replays the engine's IEEE expressions bit-for-bit (python
+    floats ARE IEEE doubles, and '/', '*', math.floor are the same
+    correctly-rounded ops Spark and DuckDB execute)."""
+    import math
+
+    import __spark_entry__ as em
+
+    pts = em._box_points_u(spark, sf_dir).collect()
+    segs = corpus.line_segments_a(spark, sf_dir).collect()
+    got = {
+        r["pt_id"]: (r["line_id"], r["sx"], r["sy"])
+        for r in linejoin.snap_to_segment(
+            em._box_points_u(spark, sf_dir),
+            corpus.line_segments_a(spark, sf_dir),
+        ).collect()
+    }
+    r2 = linejoin.NEAR_RADIUS_U ** 2
+
+    def near(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        ex, ey = px - x1, py - y1
+        fx, fy = px - x2, py - y2
+        dd = dx * dx + dy * dy
+        dot = ex * dx + ey * dy
+        cross = ex * dy - ey * dx
+        return (
+            ex * ex + ey * ey <= r2
+            or fx * fx + fy * fy <= r2
+            or (0 <= dot <= dd and cross * cross <= r2 * dd)
+        )
+
+    def key_and_snap(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        ex, ey = px - x1, py - y1
+        fx, fy = px - x2, py - y2
+        dd = dx * dx + dy * dy
+        dot = ex * dx + ey * dy
+        if dot <= 0:
+            return float(ex * ex + ey * ey), x1, y1
+        if dot >= dd:
+            return float(fx * fx + fy * fy), x2, y2
+        cross = ex * dy - ey * dx
+        key = float(cross * cross) / float(dd)
+        sx = x1 + math.floor(float(dot * dx) / float(dd))
+        sy = y1 + math.floor(float(dot * dy) / float(dd))
+        return key, sx, sy
+
+    exp = {}
+    for p in pts:
+        best = None
+        for s in segs:
+            args = (p["x"], p["y"], s["x1"], s["y1"], s["x2"], s["y2"])
+            if not near(*args):
+                continue
+            key, sx, sy = key_and_snap(*args)
+            cand = (key, s["line_id"], sx, sy)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        if best is not None:
+            exp[p["pt_id"]] = (best[1], best[2], best[3])
+    assert got == exp
+    assert got, "corpus should produce snaps at test SF"
+
+
+def test_snap_points_lie_on_segment_bbox(spark, sf_dir):
+    import __spark_entry__ as em
+
+    segs = {
+        r["line_id"]: r
+        for r in corpus.line_segments_a(spark, sf_dir).collect()
+    }
+    rows = linejoin.snap_to_segment(
+        em._box_points_u(spark, sf_dir),
+        corpus.line_segments_a(spark, sf_dir),
+    ).collect()
+    for r in rows:
+        s = segs[r["line_id"]]
+        assert min(s["x1"], s["x2"]) <= r["sx"] <= max(s["x1"], s["x2"])
+        assert min(s["y1"], s["y2"]) <= r["sy"] <= max(s["y1"], s["y2"])
