@@ -93,6 +93,12 @@ def _sql_trajectory_stats() -> str:
     return SQL_TRAJECTORY_STATS
 
 
+def _sql_grid_dbscan() -> str:
+    from geo_import_spark.operators import dbscan
+
+    return dbscan.sql_grid_dbscan(SQL_POINTS)
+
+
 def _sql_walk_staypoints() -> str:
     from geo_import_spark.operators import trajectory
 
@@ -723,6 +729,15 @@ def _trajectory_stats(spark, sf_dir):
     return trajectory.trajectory_stats(
         trajectory.order_points_u(spark, sf_dir)
     )
+
+
+def _grid_dbscan(spark, sf_dir):
+    """Grid DBSCAN roles + clusters: 3x3 neighborhood density cores,
+    8-connected components, border/noise classification — one
+    point-sized shuffle, everything else grid-bounded."""
+    from geo_import_spark.operators import dbscan
+
+    return dbscan.grid_dbscan(corpus.points(spark, sf_dir))
 
 
 def _walk_staypoints(spark, sf_dir):
@@ -1637,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": _geohash_encode,
         "geohash_rollup": _geohash_rollup,
         "trajectory_stats": _trajectory_stats,
+        "grid_dbscan": _grid_dbscan,
         "walk_staypoints": _walk_staypoints,
         "od_matrix": _od_matrix,
         "snap_to_segment": _snap_to_segment,
@@ -2279,6 +2295,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_encode": _sql_geohash_encode(),
         "geohash_rollup": _sql_geohash_rollup(),
         "trajectory_stats": _sql_trajectory_stats(),
+        "grid_dbscan": _sql_grid_dbscan(),
         "walk_staypoints": _sql_walk_staypoints(),
         "od_matrix": _sql_od_matrix(),
         "snap_to_segment": linejoin.sql_snap_to_segment(
