@@ -731,6 +731,13 @@ def _trajectory_stats(spark, sf_dir):
     )
 
 
+def _adaptive_tiles(spark, sf_dir):
+    """Adaptive quadtree leaves: shallowest tile holding <= k points
+    (forced leaves at the max level) — one point-sized histogram
+    shuffle, grid-bounded rollups, one bounded self-join."""
+    return tiling.adaptive_tiles(corpus.points(spark, sf_dir))
+
+
 def _grid_dbscan(spark, sf_dir):
     """Grid DBSCAN roles + clusters: 3x3 neighborhood density cores,
     8-connected components, border/noise classification — one
@@ -1652,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": _geohash_encode,
         "geohash_rollup": _geohash_rollup,
         "trajectory_stats": _trajectory_stats,
+        "adaptive_tiles": _adaptive_tiles,
         "grid_dbscan": _grid_dbscan,
         "walk_staypoints": _walk_staypoints,
         "od_matrix": _od_matrix,
@@ -2295,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_encode": _sql_geohash_encode(),
         "geohash_rollup": _sql_geohash_rollup(),
         "trajectory_stats": _sql_trajectory_stats(),
+        "adaptive_tiles": tiling.sql_adaptive_tiles(SQL_POINTS),
         "grid_dbscan": _sql_grid_dbscan(),
         "walk_staypoints": _sql_walk_staypoints(),
         "od_matrix": _sql_od_matrix(),

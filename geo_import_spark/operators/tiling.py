@@ -533,3 +533,122 @@ def label_dense_regions(
     return dense.join(labels, dense["cell"] == labels["doc_id"]).select(
         "x", "y", "n_points", F.col("cluster_rep").alias("region_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive quadtree tiling: the skew-killing repartitioning layout the
+# north rule names ("adaptive repartitioning to kill geometry skew").
+# ---------------------------------------------------------------------------
+
+QT_MAX_LEVEL = 8     # finest split: 256 x 256
+QT_MAX_PER_TILE = 100
+
+
+def adaptive_tiles(
+    points: DataFrame,
+    max_level: int = QT_MAX_LEVEL,
+    max_per_tile: int = QT_MAX_PER_TILE,
+) -> DataFrame:
+    """Adaptive quadtree leaves: (level, tx, ty, n_points) such that the
+    leaves PARTITION the space — every point has exactly one leaf
+    ancestor — and every leaf holds <= max_per_tile points unless it
+    sits at max_level (a hot cell denser than the finest split, the
+    case hot-cell salting handles downstream).
+
+    A tile is a leaf iff its count <= max_per_tile and it is the
+    SHALLOWEST such ancestor (root, or parent count > max_per_tile);
+    tiles at max_level keep their overflow as forced leaves.
+
+    Plan (the 100-TB story): the point table is touched ONCE — a
+    map-side-combined histogram at the finest level. Counts at coarser
+    levels ROLL UP from the finest grid (max_level tiny aggregates on
+    grid-bounded frames — never re-scanning points, unlike the
+    per-level GROUP BY the SQL mirror uses). The leaf predicate is one
+    self-join of the bounded count table against itself on the parent
+    key. This is exactly the split layout a geometry-skewed ingest
+    repartitions by: uniform areas get coarse tiles, hot spots split
+    to the floor, and downstream stages key by (level, tx, ty).
+    """
+    n = 1 << max_level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    finest = (
+        points.groupBy(gx.alias("tx"), gy.alias("ty"))
+        .agg(F.count("*").alias("n_points"))
+        .withColumn("level", F.lit(max_level))
+        # the rollup union + parent self-join reference this frame
+        # ~2x(max_level+1) times; cutting lineage here pins ONE
+        # physical point scan (the frame is grid-bounded — <= 4^level
+        # rows — so the checkpoint is tiny)
+        .localCheckpoint()
+    )
+    levels = [finest]
+    for lvl in range(max_level - 1, -1, -1):
+        child = levels[-1]
+        levels.append(
+            child.groupBy(
+                F.shiftright("tx", 1).alias("tx"),
+                F.shiftright("ty", 1).alias("ty"),
+            )
+            .agg(F.sum("n_points").alias("n_points"))
+            .withColumn("level", F.lit(lvl))
+        )
+    counts = levels[0]
+    for f in levels[1:]:
+        counts = counts.unionByName(f)
+    parent = counts.select(
+        F.col("level").alias("p_level"),
+        F.col("tx").alias("p_tx"),
+        F.col("ty").alias("p_ty"),
+        F.col("n_points").alias("p_n"),
+    )
+    joined = counts.join(
+        parent,
+        (F.col("p_level") == F.col("level") - 1)
+        & (F.col("p_tx") == F.shiftright("tx", 1))
+        & (F.col("p_ty") == F.shiftright("ty", 1)),
+        "left",
+    )
+    k = int(max_per_tile)
+    is_leaf = (
+        (F.col("n_points") <= k)
+        & ((F.col("level") == 0) | (F.col("p_n") > k))
+    ) | ((F.col("level") == max_level) & (F.col("n_points") > k))
+    return joined.filter(is_leaf).select("level", "tx", "ty", "n_points")
+
+
+def sql_adaptive_tiles(
+    sql_points: str,
+    max_level: int = QT_MAX_LEVEL,
+    max_per_tile: int = QT_MAX_PER_TILE,
+) -> str:
+    """DuckDB mirror: finest-grid cells once, per-level counts via a
+    levels VALUES cross join + shifts (bit-identical to the rollup
+    because integer sums are associative), same leaf predicate."""
+    n = 1 << max_level
+    k = int(max_per_tile)
+    lv = ", ".join(f"({v})" for v in range(max_level + 1))
+    return f"""
+WITH pts AS ({sql_points}), fine AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS fx,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS fy
+  FROM pts
+), lv(l) AS (VALUES {lv}),
+counts AS (
+  SELECT l AS level, fx >> ({max_level} - l) AS tx,
+         fy >> ({max_level} - l) AS ty, COUNT(*) AS n_points
+  FROM fine, lv GROUP BY 1, 2, 3
+)
+SELECT c.level, c.tx, c.ty, c.n_points
+FROM counts c LEFT JOIN counts p
+  ON p.level = c.level - 1 AND p.tx = c.tx >> 1 AND p.ty = c.ty >> 1
+WHERE (c.n_points <= {k} AND (c.level = 0 OR p.n_points > {k}))
+   OR (c.level = {max_level} AND c.n_points > {k})
+"""
