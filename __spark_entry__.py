@@ -833,6 +833,17 @@ def _pagerank(spark, sf_dir):
     )
 
 
+def _bfs_hops(spark, sf_dir):
+    """Unweighted SSSP: BFS hop distance from the min supplier over
+    the co-occurrence graph (distance-label relaxation, one
+    edges x frontier join + min-merge per round)."""
+    return graphmod.bfs_hops(
+        corpus.spread_scan(
+            spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        )
+    )
+
+
 def _segment_intersect(spark, sf_dir):
     """Exact line-segment intersection join (layer A <- supplier,
     layer B <- customer): cell equi-join + bigint CLRS predicate."""
@@ -1652,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_segments": _clip_segments,
         "near_segments": _near_segments,
         "pagerank": _pagerank,
+        "bfs_hops": _bfs_hops,
         "heavy_hitters": _heavy_hitters,
         "frame_diff": _frame_diff,
         "table_checksum": _table_checksum,
@@ -2294,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
             SQL_BOX_POINTS_U, corpus.SQL_SEGMENTS_A
         ),
         "pagerank": graphmod.SQL_PAGERANK,
+        "bfs_hops": graphmod.sql_bfs_hops(),
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,
         "frame_diff": _sql_frame_diff(),
         "table_checksum": _sql_table_checksum(),

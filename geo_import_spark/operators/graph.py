@@ -248,3 +248,103 @@ nn AS (SELECT count(*) AS n_nodes FROM
 ne AS (SELECT count(*) AS n_edges FROM e)
 SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (unweighted single-source shortest path)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_ROUNDS = 20
+
+
+def bfs_hops(lineitem: DataFrame, max_rounds: int = BFS_MAX_ROUNDS,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """(node, hops) for every supplier reachable from the minimum
+    supplier id in the co-occurrence graph — unweighted SSSP by
+    distance-label relaxation.
+
+    Plan: the same loop shape as dedup.duplicate_clusters with the
+    label being an INT distance instead of a string — per round, one
+    edges x frontier equi-join plus a min-merge groupBy keyed on node,
+    converging in diameter rounds (co-occurrence graphs are
+    small-world; the exact changed-row count stops the loop early).
+    Lineage truncates per round; `checkpoint_dir` swaps in durable
+    parquet rounds with resume (plans/itercheckpoint.py).
+
+    Only reachable nodes appear — their hops are exact BIGINTs, so the
+    result hash-checks against the recursive-CTE mirror as long as the
+    graph diameter stays under both caps (asserted by the convergence
+    test and the corpus' dense co-order structure).
+    """
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    ck = LoopCheckpointer(checkpoint_dir, name="bfs")
+    e = cooccur_edges(lineitem).select("src", "dst")
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    src0 = nodes.agg(F.min("node").alias("s0"))
+
+    start_round = 1
+    dist = None
+    if ck.durable:
+        last, saved = ck.latest(lineitem.sparkSession)
+        if last is not None:
+            dist, start_round = saved, last + 1
+    if dist is None:
+        dist = ck.truncate(
+            nodes.crossJoin(F.broadcast(src0)).select(
+                "node",
+                F.when(F.col("node") == F.col("s0"), F.lit(0))
+                .cast("long")
+                .alias("hops"),
+            ),
+            0,
+        )
+    for rnd in range(start_round, max_rounds + 1):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("hops").isNotNull()),
+                edges["src"] == F.col("node"),
+            )
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        new_dist = ck.truncate(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops")),
+            rnd,
+        )
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "node")
+            .filter(
+                ~F.col("n.hops").eqNullSafe(F.col("o.hops"))
+            )
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist.filter(F.col("hops").isNotNull()).select("node", "hops")
+
+
+def sql_bfs_hops(max_rounds: int = BFS_MAX_ROUNDS) -> str:
+    return f"""
+WITH RECURSIVE os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+), e0 AS (
+  SELECT a.s AS src, b.s AS dst
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), walk(node, d) AS (
+  SELECT (SELECT MIN(src) FROM e), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {int(max_rounds)}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""

@@ -3,6 +3,7 @@ and iteration behavior."""
 
 from pyspark.sql import functions as F
 
+from geo_import_spark import corpus
 from geo_import_spark.operators import graph
 
 
@@ -58,3 +59,45 @@ def test_pagerank_zero_iters_is_uniform(spark, sf_dir):
     rows = graph.pagerank(orders_df, cust_df, iters=0).collect()
     assert {r["pr"] for r in rows} == {graph.PR_SCALE}
     assert len(rows) == cust_df.count()
+
+
+def test_bfs_hops_matches_python_bfs(spark, sf_dir):
+    from collections import deque
+
+    li = corpus.spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+    edges = graph.cooccur_edges(li).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    s0 = min(adj)
+    exp, q = {s0: 0}, deque([s0])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in exp:
+                exp[v] = exp[u] + 1
+                q.append(v)
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(li).collect()}
+    assert got == exp
+    assert max(exp.values()) < graph.BFS_MAX_ROUNDS, (
+        "diameter must stay under both loop caps for the oracle to agree"
+    )
+
+
+def test_bfs_hops_excludes_unreachable_component(spark):
+    from pyspark.sql import Row
+
+    # two components: {1,2,3} chained, {7,8} chained (share no order)
+    rows = [
+        Row(l_orderkey=1, l_suppkey=1), Row(l_orderkey=1, l_suppkey=2),
+        Row(l_orderkey=2, l_suppkey=2), Row(l_orderkey=2, l_suppkey=3),
+        Row(l_orderkey=3, l_suppkey=7), Row(l_orderkey=3, l_suppkey=8),
+    ]
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
