@@ -93,6 +93,12 @@ def _sql_trajectory_stats() -> str:
     return SQL_TRAJECTORY_STATS
 
 
+def _sql_skyline_parts() -> str:
+    from geo_import_spark.operators.ranking import SQL_SKYLINE_PARTS
+
+    return SQL_SKYLINE_PARTS
+
+
 def _sql_grid_dbscan() -> str:
     from geo_import_spark.operators import dbscan
 
@@ -729,6 +735,26 @@ def _trajectory_stats(spark, sf_dir):
     return trajectory.trajectory_stats(
         trajectory.order_points_u(spark, sf_dir)
     )
+
+
+def _skyline_parts(spark, sf_dir):
+    """2D skyline (Pareto frontier) of parts minimizing (price, size):
+    the quadratic NOT EXISTS collapsed to two shared-sort windows on
+    the exact cent axis."""
+    from geo_import_spark.operators import ranking
+
+    return ranking.skyline_parts(
+        corpus.spread_scan(
+            spark, spark.read.parquet(f"{sf_dir}/part.parquet")
+        )
+    )
+
+
+def _raster_convolve(spark, sf_dir):
+    """5x5 binomial-kernel focal sum per occupied grid cell — exact
+    integer raster convolution (one histogram shuffle, bounded x25
+    cell-table explode)."""
+    return tiling.raster_convolve(corpus.points(spark, sf_dir))
 
 
 def _adaptive_tiles(spark, sf_dir):
@@ -1672,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": _geohash_rollup,
         "trajectory_stats": _trajectory_stats,
         "adaptive_tiles": _adaptive_tiles,
+        "skyline_parts": _skyline_parts,
+        "raster_convolve": _raster_convolve,
         "grid_dbscan": _grid_dbscan,
         "walk_staypoints": _walk_staypoints,
         "od_matrix": _od_matrix,
@@ -2317,6 +2345,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _sql_geohash_rollup(),
         "trajectory_stats": _sql_trajectory_stats(),
         "adaptive_tiles": tiling.sql_adaptive_tiles(SQL_POINTS),
+        "skyline_parts": _sql_skyline_parts(),
+        "raster_convolve": tiling.sql_raster_convolve(SQL_POINTS),
         "grid_dbscan": _sql_grid_dbscan(),
         "walk_staypoints": _sql_walk_staypoints(),
         "od_matrix": _sql_od_matrix(),

@@ -255,3 +255,82 @@ SELECT n_name, string_agg(c_name, ',' ORDER BY rnk) AS top_names
 FROM ranked WHERE rnk <= {TOPK_PER_NATION}
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """Skyline of parts minimizing (retail price, size): a part is kept
+    iff NO other part is <= on both dimensions and < on at least one
+    (classic Borzsonyi-et-al SKYLINE semantics; identical pairs are
+    mutually non-dominating and both survive).
+
+    Plan: the O(n^2) NOT EXISTS collapses to two window checks on the
+    BIGINT-cent price axis —
+      (1) the minimum size among STRICTLY cheaper parts must not be
+          <= this size (RANGE frame ending 1 cent before the current
+          price), and
+      (2) the size must equal the minimum within its own price tick.
+    A single global window would drag ALL rows to one task (Spark's
+    unpartitioned-window pathology), so the operator runs TWO phases:
+    a salted local-frontier pass (windows partitioned by a hash
+    bucket, fully parallel) that discards everything dominated inside
+    its bucket, then the same check globally over the tiny survivor
+    union. Correct because dominance is transitive: any dominator of a
+    discarded row either survives its bucket's frontier or is itself
+    dominated by a survivor that also dominates the row. The final
+    pass sorts only ~|skyline|-sized data. Exact integers end to end,
+    so the mirror's NOT EXISTS agrees bit-for-bit.
+
+    Output: (p_partkey, price_c, p_size).
+    """
+    priced = part.select(
+        "p_partkey",
+        F.expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_c"
+        ),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+    def frontier(df: DataFrame, bucket) -> DataFrame:
+        w_cheaper = (
+            Window.partitionBy(bucket)
+            .orderBy("price_c")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_same = Window.partitionBy(bucket, "price_c")
+        flagged = df.select(
+            "p_partkey",
+            "price_c",
+            "p_size",
+            F.min("p_size").over(w_cheaper).alias("min_cheaper"),
+            F.min("p_size").over(w_same).alias("min_same"),
+        )
+        return flagged.filter(
+            (
+                F.col("min_cheaper").isNull()
+                | (F.col("min_cheaper") > F.col("p_size"))
+            )
+            & (F.col("p_size") == F.col("min_same"))
+        ).select("p_partkey", "price_c", "p_size")
+
+    local = frontier(priced, F.pmod(F.xxhash64("p_partkey"), F.lit(64)))
+    return frontier(local, F.lit(0))
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey, CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT a.p_partkey, a.price_c, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size <= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size < a.p_size)
+)
+"""

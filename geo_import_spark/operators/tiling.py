@@ -652,3 +652,81 @@ FROM counts c LEFT JOIN counts p
 WHERE (c.n_points <= {k} AND (c.level = 0 OR p.n_points > {k}))
    OR (c.level = {max_level} AND c.n_points > {k})
 """
+
+
+# ---------------------------------------------------------------------------
+# Raster focal convolution: 5x5 binomial (Gaussian-approximating) kernel
+# ---------------------------------------------------------------------------
+
+CONV_LEVEL = 6
+CONV_W = (1, 4, 6, 4, 1)  # binomial row; 2D kernel = outer product /256
+
+
+def raster_convolve(points: DataFrame, level: int = CONV_LEVEL) -> DataFrame:
+    """(x, y, n_points, smooth) per OCCUPIED grid cell, where smooth is
+    the exact integer 5x5 binomial-kernel focal sum (sum of
+    wx*wy*count over the neighborhood — the separable Gaussian
+    approximation used for raster heatmaps; unnormalized so every
+    value stays an exact BIGINT).
+
+    Plan: one map-side-combined histogram shuffle over points, then a
+    bounded x25 map-side explode of the CELL table and one grid-keyed
+    aggregate — the raster convolution idiom that never re-touches
+    points (edge cells simply sum the kernel taps that land on the
+    grid, standard 'kernel crop' boundary handling).
+    """
+    n = 1 << level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    hist = points.groupBy(gx.alias("x"), gy.alias("y")).agg(
+        F.count("*").alias("n_points")
+    )
+    taps = F.array(
+        *[
+            F.struct(F.lit(o).alias("o"), F.lit(w).alias("w"))
+            for o, w in zip((-2, -1, 0, 1, 2), CONV_W)
+        ]
+    )
+    contrib = (
+        hist.withColumn("tx", F.explode(taps))
+        .withColumn("ty", F.explode(taps))
+        .select(
+            (F.col("x") + F.col("tx.o")).alias("x"),
+            (F.col("y") + F.col("ty.o")).alias("y"),
+            (F.col("tx.w") * F.col("ty.w") * F.col("n_points")).alias("c"),
+        )
+    )
+    smooth = contrib.groupBy("x", "y").agg(F.sum("c").alias("smooth"))
+    return hist.join(smooth, ["x", "y"]).select(
+        "x", "y", "n_points", "smooth"
+    )
+
+
+def sql_raster_convolve(sql_points: str, level: int = CONV_LEVEL) -> str:
+    n = 1 << level
+    taps = ", ".join(
+        f"({o}, {w})" for o, w in zip((-2, -1, 0, 1, 2), CONV_W)
+    )
+    return f"""
+WITH pts AS ({sql_points}), d AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS y,
+         COUNT(*) AS n_points
+  FROM pts GROUP BY 1, 2
+), taps(o, w) AS (VALUES {taps}),
+sm AS (
+  SELECT d.x + tx.o AS x, d.y + ty.o AS y,
+         SUM(tx.w * ty.w * n_points) AS smooth
+  FROM d, taps tx, taps ty
+  GROUP BY 1, 2
+)
+SELECT d.x, d.y, d.n_points, sm.smooth
+FROM d JOIN sm ON sm.x = d.x AND sm.y = d.y
+"""

@@ -90,3 +90,25 @@ def test_points_touched_once_in_plan(spark, sf_dir):
     # rollups reuse grid-bounded frames. Count scans of the parquet
     # source: must be 1 (the SQL mirror re-scans per level; we must not).
     assert plan.count("Scan parquet") <= 1
+
+
+def test_raster_convolve_matches_python_kernel(spark, sf_dir):
+    hist = {}
+    for p in corpus.points(spark, sf_dir).collect():
+        c = _cell(p["lon"], p["lat"], tiling.CONV_LEVEL)
+        hist[c] = hist.get(c, 0) + 1
+    w = dict(zip((-2, -1, 0, 1, 2), tiling.CONV_W))
+    exp = {}
+    for (x, y), n in hist.items():
+        s = 0
+        for dx, wx in w.items():
+            for dy, wy in w.items():
+                s += wx * wy * hist.get((x + dx, y + dy), 0)
+        exp[(x, y)] = (n, s)
+    got = {
+        (r["x"], r["y"]): (r["n_points"], r["smooth"])
+        for r in tiling.raster_convolve(
+            corpus.points(spark, sf_dir)
+        ).collect()
+    }
+    assert got == exp

@@ -54,3 +54,36 @@ def test_pareto_cumulative_exact(spark):
         run += r.rev_c
         assert r.cum_rev_c == run
     assert rows[-1].cum_rev_c == 5500
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from geo_import_spark.operators import ranking
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rows = [
+        (r["p_partkey"],
+         math.floor(float(r["p_retailprice"]) * 100 + 0.5),
+         int(r["p_size"]))
+        for r in part.collect()
+    ]
+    exp = set()
+    for k, pc, sz in rows:
+        dominated = any(
+            (qc <= pc and qs <= sz and (qc < pc or qs < sz))
+            for _, qc, qs in rows
+        )
+        if not dominated:
+            exp.add((k, pc, sz))
+    got = {
+        (r["p_partkey"], r["price_c"], r["p_size"])
+        for r in ranking.skyline_parts(part).collect()
+    }
+    assert got == exp
+    assert got
+    # frontier property: sorted by price, sizes strictly decrease
+    # except between identical (price, size) duplicates
+    fr = sorted(got, key=lambda t: (t[1], t[2]))
+    for a, b in zip(fr, fr[1:]):
+        assert b[2] < a[2] or (b[1] == a[1] and b[2] == a[2])
