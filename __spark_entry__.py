@@ -93,6 +93,18 @@ def _sql_trajectory_stats() -> str:
     return SQL_TRAJECTORY_STATS
 
 
+def _sql_weighted_median() -> str:
+    from geo_import_spark.operators.statistics import SQL_WEIGHTED_MEDIAN
+
+    return SQL_WEIGHTED_MEDIAN
+
+
+def _sql_theil_sen() -> str:
+    from geo_import_spark.operators.statistics import SQL_THEIL_SEN
+
+    return SQL_THEIL_SEN
+
+
 def _sql_skyline_parts() -> str:
     from geo_import_spark.operators.ranking import SQL_SKYLINE_PARTS
 
@@ -734,6 +746,32 @@ def _trajectory_stats(spark, sf_dir):
 
     return trajectory.trajectory_stats(
         trajectory.order_points_u(spark, sf_dir)
+    )
+
+
+def _weighted_median(spark, sf_dir):
+    """Exact lower weighted median of price (cents) weighted by
+    quantity per return flag — histogram-first so the cumsum window
+    runs over distinct prices, never raw rows."""
+    from geo_import_spark.operators import statistics
+
+    return statistics.weighted_median(
+        corpus.spread_scan(
+            spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        )
+    )
+
+
+def _theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per customer: lower median of pairwise
+    (price/day) slopes — per-group-bounded pairs, one self-join + one
+    window sharing the cust partitioning."""
+    from geo_import_spark.operators import statistics
+
+    return statistics.theil_sen(
+        corpus.spread_scan(
+            spark, spark.read.parquet(f"{sf_dir}/orders.parquet")
+        )
     )
 
 
@@ -1699,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": _trajectory_stats,
         "adaptive_tiles": _adaptive_tiles,
         "skyline_parts": _skyline_parts,
+        "weighted_median": _weighted_median,
+        "theil_sen": _theil_sen,
         "raster_convolve": _raster_convolve,
         "grid_dbscan": _grid_dbscan,
         "walk_staypoints": _walk_staypoints,
@@ -2346,6 +2386,8 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_stats": _sql_trajectory_stats(),
         "adaptive_tiles": tiling.sql_adaptive_tiles(SQL_POINTS),
         "skyline_parts": _sql_skyline_parts(),
+        "weighted_median": _sql_weighted_median(),
+        "theil_sen": _sql_theil_sen(),
         "raster_convolve": tiling.sql_raster_convolve(SQL_POINTS),
         "grid_dbscan": _sql_grid_dbscan(),
         "walk_staypoints": _sql_walk_staypoints(),

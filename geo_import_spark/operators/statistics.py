@@ -362,3 +362,135 @@ SELECT n AS n_pairs,
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: exact weighted median, Theil-Sen slope
+# ---------------------------------------------------------------------------
+
+def weighted_median(lineitem: DataFrame) -> DataFrame:
+    """Lower weighted median of extended price (cents) weighted by
+    quantity, per return flag: the smallest price p with
+    2 * (weight at or below p) >= total weight — a total-order-free
+    definition, so ties need no key tiebreak to stay deterministic.
+
+    Plan (the scalable exact form): a raw cumsum window would drag
+    each flag's ENTIRE row set into one task, so the operator first
+    collapses to the (flag, price) HISTOGRAM with one
+    map-side-combined aggregate — the window then runs over distinct
+    prices per flag (bounded by price cardinality, not row count) and
+    one min-aggregate picks the crossing. Output: (flag, w_median_c).
+    """
+    h = lineitem.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("flag")
+    c = h.select(
+        "flag",
+        "price_c",
+        F.sum("w").over(win).alias("cum_w"),
+        F.sum("w").over(tot).alias("tot_w"),
+    )
+    return (
+        c.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("flag")
+        .agg(F.min("price_c").alias("w_median_c"))
+    )
+
+
+SQL_WEIGHTED_MEDIAN = f"""
+WITH h AS (
+  SELECT l_returnflag AS flag, {SQL_CENTS.format(x="l_extendedprice")} AS price_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT flag, price_c,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price_c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w,
+         SUM(w) OVER (PARTITION BY flag) AS tot_w
+  FROM h
+)
+SELECT flag, MIN(price_c) AS w_median_c
+FROM c WHERE 2 * cum_w >= tot_w GROUP BY flag
+"""
+
+
+def theil_sen(orders: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per customer: the lower median of all
+    pairwise slopes (price cents per day) over the customer's orders —
+    the classic outlier-resistant alternative to OLS.
+
+    Pairs form within a group whose size is corpus-bounded (orders per
+    customer stays ~constant as the table grows), so the quadratic
+    blowup is per-group bounded and the whole operator is one
+    self-equi-join on cust + one window keyed by cust: both share the
+    hash partitioning; nothing global. Slopes are doubles of exact
+    int64 differences (one identical division both engines); the
+    LOWER median is the ceil(m/2)-th smallest VALUE — well-defined
+    under ties, so the row_number pick hashes identically. Same-day
+    pairs are excluded on both sides (undefined slope).
+
+    Output: (cust, n_pairs, sen_slope).
+    """
+    pts = orders.select(
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        _cents(F.col("o_totalprice")).alias("p"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.d") != F.col("b.d")),
+    ).select(
+        F.col("a.cust").alias("cust"),
+        (
+            (F.col("b.p") - F.col("a.p")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("cust").orderBy("slope")
+    ranked = pairs.select(
+        "cust",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("cust")).alias("m"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(m + 1) DIV 2")
+    ).select(
+        "cust", F.col("m").alias("n_pairs"), F.col("slope").alias("sen_slope")
+    )
+
+
+SQL_THEIL_SEN = f"""
+WITH pts AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust, CAST(o_orderkey AS BIGINT) AS k,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d,
+         {SQL_CENTS.format(x="o_totalprice")} AS p
+  FROM orders
+), pairs AS (
+  SELECT a.cust AS cust,
+         CAST(b.p - a.p AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM pts a JOIN pts b
+    ON a.cust = b.cust AND a.k < b.k AND a.d != b.d
+), ranked AS (
+  SELECT cust, slope,
+         row_number() OVER (PARTITION BY cust ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY cust) AS m
+  FROM pairs
+)
+SELECT cust, m AS n_pairs, slope AS sen_slope
+FROM ranked WHERE rn = (m + 1) // 2
+"""

@@ -82,3 +82,76 @@ def test_decay_halves_per_halflife(spark):
     got = {r.o_custkey: r.decayed_c
            for r in st.decayed_revenue(orders).collect()}
     assert got == {10: 8000 + 4000 + 2000, 11: 0}
+
+
+# --- robust statistics: weighted median, Theil-Sen --------------------------
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    import math
+
+    from geo_import_spark.operators import statistics as st
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = [
+        (r["l_returnflag"],
+         math.floor(float(r["l_extendedprice"]) * 100 + 0.5),
+         int(r["l_quantity"]))
+        for r in li.collect()
+    ]
+    groups = {}
+    for flag, pc, q in rows:
+        groups.setdefault(flag, []).append((pc, q))
+    exp = {}
+    for flag, vals in groups.items():
+        vals.sort()
+        tot = sum(w for _, w in vals)
+        cum = 0
+        for pc, w in vals:
+            cum += w
+            if 2 * cum >= tot:
+                exp[flag] = pc
+                break
+    got = {
+        r["flag"]: r["w_median_c"]
+        for r in st.weighted_median(li).collect()
+    }
+    assert got == exp
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    import datetime as dt
+    import math
+
+    from geo_import_spark.operators import statistics as st
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    epoch = dt.date(1992, 1, 1)
+    tracks = {}
+    for r in orders.collect():
+        od = r["o_orderdate"]
+        if isinstance(od, dt.datetime):
+            od = od.date()
+        d = (od - epoch).days
+        p = math.floor(float(r["o_totalprice"]) * 100 + 0.5)
+        tracks.setdefault(r["o_custkey"], []).append((r["o_orderkey"], d, p))
+    exp = {}
+    for cust, pts in tracks.items():
+        pts.sort()
+        slopes = [
+            (b[2] - a[2]) / (b[1] - a[1])
+            for i, a in enumerate(pts)
+            for b in pts[i + 1:]
+            if a[1] != b[1]
+        ]
+        if not slopes:
+            continue
+        slopes.sort()
+        m = len(slopes)
+        exp[cust] = (m, slopes[(m + 1) // 2 - 1])
+    got = {
+        r["cust"]: (r["n_pairs"], r["sen_slope"])
+        for r in st.theil_sen(orders).collect()
+    }
+    assert got == exp
+    assert got
