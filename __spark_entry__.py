@@ -795,6 +795,18 @@ def _raster_convolve(spark, sf_dir):
     return tiling.raster_convolve(corpus.points(spark, sf_dir))
 
 
+def _tile_pyramid(spark, sf_dir):
+    """Full multi-resolution tile-count pyramid (levels 0..8): one
+    point scan, grid-bounded rollups."""
+    return tiling.tile_pyramid(corpus.points(spark, sf_dir))
+
+
+def _tile_thin(spark, sf_dir):
+    """Per-tile feature thinning: k md5-rank representatives + true
+    total per tile (map generalization)."""
+    return tiling.tile_thin(corpus.points(spark, sf_dir))
+
+
 def _adaptive_tiles(spark, sf_dir):
     """Adaptive quadtree leaves: shallowest tile holding <= k points
     (forced leaves at the max level) — one point-sized histogram
@@ -1736,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": _geohash_rollup,
         "trajectory_stats": _trajectory_stats,
         "adaptive_tiles": _adaptive_tiles,
+        "tile_pyramid": _tile_pyramid,
+        "tile_thin": _tile_thin,
         "skyline_parts": _skyline_parts,
         "weighted_median": _weighted_median,
         "theil_sen": _theil_sen,
@@ -2385,6 +2399,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _sql_geohash_rollup(),
         "trajectory_stats": _sql_trajectory_stats(),
         "adaptive_tiles": tiling.sql_adaptive_tiles(SQL_POINTS),
+        "tile_pyramid": tiling.sql_tile_pyramid(SQL_POINTS),
+        "tile_thin": tiling.sql_tile_thin(SQL_POINTS),
         "skyline_parts": _sql_skyline_parts(),
         "weighted_median": _sql_weighted_median(),
         "theil_sen": _sql_theil_sen(),

@@ -10,7 +10,7 @@ computed in one vectorized pandas UDF.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -544,6 +544,67 @@ QT_MAX_LEVEL = 8     # finest split: 256 x 256
 QT_MAX_PER_TILE = 100
 
 
+def tile_pyramid(points: DataFrame, max_level: int = QT_MAX_LEVEL) -> DataFrame:
+    """Full tile pyramid: (level, tx, ty, n_points) for EVERY occupied
+    tile at every level 0..max_level — the multi-resolution count
+    surface a tile server renders zoom levels from.
+
+    The point table is touched ONCE (map-side-combined histogram at
+    the finest level, lineage pinned by a grid-bounded localCheckpoint
+    because the rollup union and adaptive_tiles' parent self-join
+    reference the frame ~2x(max_level+1) times); each coarser level
+    ROLLS UP from the previous with a tiny grid-bounded aggregate —
+    exact integer sums, so the rollup is bit-identical to the
+    per-level GROUP BY the SQL mirror runs.
+    """
+    n = 1 << max_level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    finest = (
+        points.groupBy(gx.alias("tx"), gy.alias("ty"))
+        .agg(F.count("*").alias("n_points"))
+        .withColumn("level", F.lit(max_level))
+        .localCheckpoint()
+    )
+    levels = [finest]
+    for lvl in range(max_level - 1, -1, -1):
+        child = levels[-1]
+        levels.append(
+            child.groupBy(
+                F.shiftright("tx", 1).alias("tx"),
+                F.shiftright("ty", 1).alias("ty"),
+            )
+            .agg(F.sum("n_points").alias("n_points"))
+            .withColumn("level", F.lit(lvl))
+        )
+    counts = levels[0]
+    for f in levels[1:]:
+        counts = counts.unionByName(f)
+    return counts.select("level", "tx", "ty", "n_points")
+
+
+def sql_tile_pyramid(sql_points: str, max_level: int = QT_MAX_LEVEL) -> str:
+    n = 1 << max_level
+    lv = ", ".join(f"({v})" for v in range(max_level + 1))
+    return f"""
+WITH pts AS ({sql_points}), fine AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS fx,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS fy
+  FROM pts
+), lv(l) AS (VALUES {lv})
+SELECT l AS level, fx >> ({max_level} - l) AS tx,
+       fy >> ({max_level} - l) AS ty, COUNT(*) AS n_points
+FROM fine, lv GROUP BY 1, 2, 3
+"""
+
+
 def adaptive_tiles(
     points: DataFrame,
     max_level: int = QT_MAX_LEVEL,
@@ -569,40 +630,7 @@ def adaptive_tiles(
     repartitions by: uniform areas get coarse tiles, hot spots split
     to the floor, and downstream stages key by (level, tx, ty).
     """
-    n = 1 << max_level
-    nf = float(n)
-    gx = F.greatest(
-        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
-        F.lit(0),
-    )
-    gy = F.greatest(
-        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
-        F.lit(0),
-    )
-    finest = (
-        points.groupBy(gx.alias("tx"), gy.alias("ty"))
-        .agg(F.count("*").alias("n_points"))
-        .withColumn("level", F.lit(max_level))
-        # the rollup union + parent self-join reference this frame
-        # ~2x(max_level+1) times; cutting lineage here pins ONE
-        # physical point scan (the frame is grid-bounded — <= 4^level
-        # rows — so the checkpoint is tiny)
-        .localCheckpoint()
-    )
-    levels = [finest]
-    for lvl in range(max_level - 1, -1, -1):
-        child = levels[-1]
-        levels.append(
-            child.groupBy(
-                F.shiftright("tx", 1).alias("tx"),
-                F.shiftright("ty", 1).alias("ty"),
-            )
-            .agg(F.sum("n_points").alias("n_points"))
-            .withColumn("level", F.lit(lvl))
-        )
-    counts = levels[0]
-    for f in levels[1:]:
-        counts = counts.unionByName(f)
+    counts = tile_pyramid(points, max_level)
     parent = counts.select(
         F.col("level").alias("p_level"),
         F.col("tx").alias("p_tx"),
@@ -729,4 +757,72 @@ sm AS (
 )
 SELECT d.x, d.y, d.n_points, sm.smooth
 FROM d JOIN sm ON sm.x = d.x AND sm.y = d.y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tile-level feature thinning (map generalization)
+# ---------------------------------------------------------------------------
+
+THIN_LEVEL = 6
+THIN_K = 3
+
+
+def tile_thin(points: DataFrame, level: int = THIN_LEVEL,
+              k: int = THIN_K) -> DataFrame:
+    """Per-tile feature thinning: keep at most k representative points
+    per grid tile plus the tile's true total — what a renderer serves
+    at low zoom instead of every feature (map generalization /
+    clustering markers).
+
+    Representatives are the k smallest (md5(doc_id), doc_id) — a
+    deterministic, rehash-stable pseudo-random pick (the md5-rank
+    idiom of trainprep.source_mix_sample), totally ordered so both
+    engines choose identical rows. One shuffle keyed by tile: the
+    ranking window and the count share the same hash partitioning.
+
+    Output: (x, y, doc_id, rk, n_in_tile), rk in 1..k.
+    """
+    n = 1 << level
+    nf = float(n)
+    gx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    gy = F.greatest(
+        F.least(F.floor((90.0 - F.col("lat")) / 180.0 * F.lit(nf)).cast("long"), F.lit(n - 1)),
+        F.lit(0),
+    )
+    cells = points.select("doc_id", gx.alias("x"), gy.alias("y"))
+    w = Window.partitionBy("x", "y").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("x", "y")
+    return (
+        cells.select(
+            "x", "y", "doc_id",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wc).alias("n_in_tile"),
+        )
+        .filter(F.col("rk") <= int(k))
+    )
+
+
+def sql_tile_thin(sql_points: str, level: int = THIN_LEVEL,
+                  k: int = THIN_K) -> str:
+    n = 1 << level
+    return f"""
+WITH pts AS ({sql_points}), cells AS (
+  SELECT doc_id,
+         GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), {n - 1}), 0) AS y
+  FROM pts
+)
+SELECT x, y, doc_id, rk, n_in_tile FROM (
+  SELECT x, y, doc_id,
+         row_number() OVER (PARTITION BY x, y
+                            ORDER BY md5(doc_id), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY x, y) AS n_in_tile
+  FROM cells
+) WHERE rk <= {int(k)}
 """

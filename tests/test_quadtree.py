@@ -112,3 +112,44 @@ def test_raster_convolve_matches_python_kernel(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+def test_tile_pyramid_levels_consistent(spark, sf_dir):
+    rows = tiling.tile_pyramid(corpus.points(spark, sf_dir)).collect()
+    per_level = {}
+    for r in rows:
+        per_level.setdefault(r["level"], 0)
+        per_level[r["level"]] += r["n_points"]
+    total = corpus.points(spark, sf_dir).count()
+    # every level partitions all points
+    assert set(per_level) == set(range(tiling.QT_MAX_LEVEL + 1))
+    assert all(v == total for v in per_level.values())
+    counts = {(r["level"], r["tx"], r["ty"]): r["n_points"] for r in rows}
+    # parent count == sum of its children
+    for (lvl, tx, ty), n in counts.items():
+        if lvl < tiling.QT_MAX_LEVEL:
+            kids = sum(
+                counts.get((lvl + 1, 2 * tx + dx, 2 * ty + dy), 0)
+                for dx in (0, 1) for dy in (0, 1)
+            )
+            assert kids == n, (lvl, tx, ty)
+    # root is the total
+    assert counts[(0, 0, 0)] == total
+
+
+def test_tile_thin_keeps_k_and_true_totals(spark, sf_dir):
+    pts = corpus.points(spark, sf_dir)
+    rows = tiling.tile_thin(pts).collect()
+    per_tile = {}
+    for r in rows:
+        per_tile.setdefault((r["x"], r["y"]), []).append(r)
+    # true totals from a direct histogram
+    hist = {}
+    for p in pts.collect():
+        c = _cell(p["lon"], p["lat"], tiling.THIN_LEVEL)
+        hist[c] = hist.get(c, 0) + 1
+    assert set(per_tile) == set(hist)
+    for c, rs in per_tile.items():
+        assert len(rs) == min(tiling.THIN_K, hist[c])
+        assert all(r["n_in_tile"] == hist[c] for r in rs)
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
