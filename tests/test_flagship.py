@@ -16,7 +16,13 @@ from geo_import_spark.sources import geojson
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return corpus.documents(spark, sf_dir).cache()
+    # unpersist on teardown: a cached fragment left in the shared
+    # session's CacheManager substitutes into LATER tests' plans
+    # (plan-shape assertions in test_plan_properties see a different
+    # tree once corpus.documents resolves to an InMemoryRelation)
+    df = corpus.documents(spark, sf_dir).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

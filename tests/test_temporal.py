@@ -114,7 +114,7 @@ def test_sliding_counts_fanout_and_membership(spark, sf_dir):
     from geo_import_spark.streaming import events as eventsmod
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    out = eventsmod.sliding_counts(ev).cache()
+    out = eventsmod.sliding_counts(ev).cache()  # derived frame, unpersisted below
     assert (
         out.agg(F.sum("n")).collect()[0][0] == 4 * ev.count()
     )

@@ -11,7 +11,11 @@ from geo_import_spark.streaming import events as eventsmod
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # unpersist on teardown (shared-session cache hygiene — see
+    # test_flagship.docs)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_lsh_recall_of_high_jaccard_pairs(docs):
@@ -116,16 +120,19 @@ def test_frame_sample(spark, sf_dir):
     from geo_import_spark.operators import tiling
 
     media = tiling.media_spans(corpus.documents(spark, sf_dir))
-    feats = multimodal.media_features(media).cache()
-    frames = multimodal.frame_sample(feats, every_n=30).toPandas()
-    f = feats.toPandas()
     import numpy as np
 
-    exp = int(np.ceil(f["n_frames"].values / 30).sum())
-    assert len(frames) == exp
-    assert (frames["frame_idx"] % 30 == 0).all()
-    only_webp_multi = f[f["fmt"] != "webp"]["n_frames"]
-    assert (only_webp_multi == 1).all()
+    feats = multimodal.media_features(media).cache()
+    try:
+        frames = multimodal.frame_sample(feats, every_n=30).toPandas()
+        f = feats.toPandas()
+        exp = int(np.ceil(f["n_frames"].values / 30).sum())
+        assert len(frames) == exp
+        assert (frames["frame_idx"] % 30 == 0).all()
+        only_webp_multi = f[f["fmt"] != "webp"]["n_frames"]
+        assert (only_webp_multi == 1).all()
+    finally:
+        feats.unpersist()
 
 
 def test_sessionize_partitions_events(spark, sf_dir):
