@@ -93,6 +93,14 @@ def _sql_trajectory_stats() -> str:
     return SQL_TRAJECTORY_STATS
 
 
+def _sql_typo_link() -> str:
+    from geo_import_spark.operators import linkage
+
+    return linkage.sql_typo_link(
+        linkage.SQL_CLEAN_NAMES, linkage.SQL_DIRTY_NAMES
+    )
+
+
 def _sql_weighted_median() -> str:
     from geo_import_spark.operators.statistics import SQL_WEIGHTED_MEDIAN
 
@@ -840,6 +848,28 @@ def _od_matrix(spark, sf_dir):
 
     return trajectory.od_matrix(
         trajectory.staypoints(trajectory.walk_points(spark, sf_dir))
+    )
+
+
+def _corridor_join(spark, sf_dir):
+    """Points within 0.02 deg of ANY segment of a path (paths = line
+    bundles by id mod 4): near join + one distinct on (pt, path)."""
+    return linejoin.corridor_join(
+        _box_points_u(spark, sf_dir), corpus.line_segments_a(spark, sf_dir)
+    )
+
+
+def _typo_link(spark, sf_dir):
+    """Blocked fuzzy record linkage: clean vs corrupted customer names
+    within edit distance 2, candidates from one (length, suffix)
+    equi-join — never a cross join."""
+    from geo_import_spark.operators import linkage
+
+    cust = corpus.spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/customer.parquet")
+    )
+    return linkage.typo_link(
+        linkage.clean_names(cust), linkage.dirty_names(cust)
     )
 
 
@@ -1758,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_staypoints": _walk_staypoints,
         "od_matrix": _od_matrix,
         "snap_to_segment": _snap_to_segment,
+        "corridor_join": _corridor_join,
+        "typo_link": _typo_link,
         "range_fences": _range_fences,
         "rrf_fusion": _rrf_fusion,
         "inverted_postings": _inverted_postings,
@@ -2411,6 +2443,10 @@ def oracle_sql() -> dict[str, str]:
         "snap_to_segment": linejoin.sql_snap_to_segment(
             SQL_BOX_POINTS_U, corpus.SQL_SEGMENTS_A
         ),
+        "corridor_join": linejoin.sql_corridor_join(
+            SQL_BOX_POINTS_U, corpus.SQL_SEGMENTS_A
+        ),
+        "typo_link": _sql_typo_link(),
         "range_fences": _sql_range_fences(),
         "rrf_fusion": retrieval.SQL_RRF_FUSION,
         "inverted_postings": retrieval.SQL_INVERTED_POSTINGS,

@@ -504,3 +504,46 @@ FROM (SELECT *, row_number() OVER (PARTITION BY pt_id
       FROM cand)
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Corridor join: points within R of ANY segment of a multi-segment path
+# ---------------------------------------------------------------------------
+
+N_PATHS = 4
+
+
+def corridor_join(points_u: DataFrame, segments: DataFrame,
+                  grid: int = SEG_GRID) -> DataFrame:
+    """(pt_id, path_id) for every point within NEAR_RADIUS_U of any
+    segment of a path — the 'points along a route' join, where a path
+    is a bundle of segments (here line la-k belongs to path k % 4,
+    derivable from the id on both engines).
+
+    Plan: the near join's single cell equi-join + exact predicate
+    produces (pt, segment) hits; the path id is a pure projection of
+    line_id (no second table), and ONE distinct on (pt_id, path_id)
+    collapses multi-segment hits — the only added shuffle, keyed and
+    map-side-combined.
+    """
+    near = near_segment_join(points_u, segments, grid)
+    return near.select(
+        "pt_id",
+        (F.regexp_extract("line_id", r"(\d+)$", 1).cast("long")
+         % N_PATHS).alias("path_id"),
+    ).distinct()
+
+
+def sql_corridor_join(sql_points_u: str, sql_segments: str) -> str:
+    pred = _near_pred(
+        _WIDE_DUCK, px="p.x", py="p.y",
+        x1="s.x1", y1="s.y1", x2="s.x2", y2="s.y2",
+    )
+    return f"""
+WITH p AS ({sql_points_u}), s AS ({sql_segments})
+SELECT DISTINCT p.pt_id AS pt_id,
+       CAST(regexp_extract(s.line_id, '(\\d+)$', 1) AS BIGINT)
+         % {N_PATHS} AS path_id
+FROM p CROSS JOIN s
+WHERE {pred}
+"""
