@@ -1524,6 +1524,19 @@ def _nation_top_names(spark, sf_dir):
     )
 
 
+def _time_weighted_avg(spark, sf_dir):
+    """TSDB-style LOCF time-weighted average per user: DECIMAL(38)
+    weighted sum, one window + one groupBy sharing the user_id
+    partitioning."""
+    return tsmod.time_weighted_avg(_events(spark, sf_dir))
+
+
+def _ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candlesticks per event type: one map-side-combined
+    aggregate with widened composite-key min_by/max_by."""
+    return tsmod.ohlc_bars(_events(spark, sf_dir))
+
+
 def _gap_fill_hourly(spark, sf_dir):
     """Dense gap-filled hourly per-type counts from a broadcast
     global bound — dimension-sized dense frame, missing hours = 0."""
@@ -1876,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_percentiles": _customer_value_percentiles,
         "nation_top_names": _nation_top_names,
         "gap_fill_hourly": _gap_fill_hourly,
+        "time_weighted_avg": _time_weighted_avg,
+        "ohlc_bars": _ohlc_bars,
         "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
         "degree_histogram": _degree_histogram,
@@ -2586,6 +2601,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "customer_value_percentiles": rankmod.SQL_CUSTOMER_VALUE_PERCENTILES,
         "nation_top_names": rankmod.SQL_NATION_TOP_NAMES,
         "gap_fill_hourly": tsmod.SQL_GAP_FILL_HOURLY,
+        "time_weighted_avg": tsmod.SQL_TIME_WEIGHTED_AVG,
+        "ohlc_bars": tsmod.SQL_OHLC_BARS,
         "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,
         "degree_histogram": graphmod.SQL_DEGREE_HISTOGRAM,

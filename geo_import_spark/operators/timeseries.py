@@ -164,3 +164,126 @@ SELECT user_id, grid_us,
            / CAST(t1 - t0 AS DOUBLE) AS v_interp
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TSDB-style time_weight) and OHLC bars
+# ---------------------------------------------------------------------------
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of the value series: each value
+    holds (LOCF) until the next event, so
+    twa = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0) — the TSDB
+    `time_weight('locf')` reduction.
+
+    Exactness: v is floor-rounded micro-units (int64) and dt is exact
+    epoch-microsecond differences; v*dt reaches ~5e20, so the weighted
+    sum accumulates as DECIMAL(38,0) (HUGEINT in the mirror) — exact
+    and order-free — and the single closing division is the only
+    float op. Single-event users emit NULL twa (zero span).
+
+    Plan: one lead window + one groupBy, both keyed on user_id (shared
+    hash partitioning — the trajectory.staypoints shape).
+
+    Output: (user_id, n_events, span_us, twa_micro).
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi"),
+    )
+    seg = e.select(
+        "user_id", "us", "vmi",
+        (F.lead("us").over(w) - F.col("us")).alias("dt"),
+    )
+    dd = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.sum(dd("vmi") * dd("dt")).alias("wsum"),
+    )
+    return agg.select(
+        "user_id", "n_events", "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.col("wsum").cast("double")
+            / F.col("span_us").cast("double"),
+        ).alias("twa_micro"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi
+  FROM events
+), seg AS (
+  SELECT user_id, us, vmi,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dt
+  FROM e
+), agg AS (
+  SELECT user_id, count(*) AS n_events,
+         max(us) - min(us) AS span_us,
+         SUM(CAST(vmi AS HUGEINT) * dt) AS wsum
+  FROM seg GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       CASE WHEN span_us > 0
+            THEN CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE)
+       END AS twa_micro
+FROM agg
+"""
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the first/last
+    values in (us, event_id) order; high/low the extremes — the
+    classic financial candlestick rollup.
+
+    ONE map-side-combined aggregate: open/close use min_by/max_by on
+    a widened composite key us*10^12 + event_id (DECIMAL(38,0) here,
+    HUGEINT in the mirror — DuckDB's min_by takes no struct keys, so
+    both engines order by the same exact integer; event_id < 10^12 by
+    construction). Values are floor-rounded micro-units.
+
+    Output: (event_type, hour_id, open_mi, high_mi, low_mi, close_mi, n).
+    """
+    key = (
+        F.col("us").cast("decimal(38,0)") * F.lit(1_000_000_000_000)
+        + F.col("event_id")
+    )
+    e = events.select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi"),
+    ).select(
+        "event_type", "vmi",
+        F.expr(f"us div {US_PER_HOUR}").alias("hour_id"),
+        key.alias("k"),
+    )
+    return e.groupBy("event_type", "hour_id").agg(
+        F.min_by("vmi", "k").alias("open_mi"),
+        F.max("vmi").alias("high_mi"),
+        F.min("vmi").alias("low_mi"),
+        F.max_by("vmi", "k").alias("close_mi"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_OHLC_BARS = f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {US_PER_HOUR} AS hour_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 1000000000000
+           + event_id AS k
+  FROM events
+)
+SELECT event_type, hour_id,
+       min_by(vmi, k) AS open_mi, max(vmi) AS high_mi,
+       min(vmi) AS low_mi, max_by(vmi, k) AS close_mi,
+       count(*) AS n
+FROM e GROUP BY event_type, hour_id
+"""

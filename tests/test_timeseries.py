@@ -75,3 +75,78 @@ def test_resample_skips_empty_intervals_and_ties(spark):
     # (t=5h,v=2) -> (t=7h,v=3): v(6h) = 2.5
     assert len(got) == 1
     assert got[0][1] == 2_500_000.0
+
+
+# --- time-weighted average + OHLC bars ---------------------------------------
+
+
+def _us(ts):
+    """Exact epoch microseconds of a naive (UTC-pinned) datetime —
+    .timestamp()*1e6 is float and can be off by 1 us."""
+    return (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def test_time_weighted_avg_matches_python(spark, sf_dir):
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = [
+        (r["user_id"], _us(r["ts"]), r["event_id"],
+         math.floor(float(r["value"]) * 1_000_000))
+        for r in ev.collect()
+    ]
+    tracks = {}
+    for u, us, eid, v in rows:
+        tracks.setdefault(u, []).append((us, eid, v))
+    exp = {}
+    for u, tr in tracks.items():
+        tr.sort()
+        span = tr[-1][0] - tr[0][0]
+        wsum = sum(
+            v * (b[0] - us) for (us, _, v), b in zip(tr, tr[1:])
+        )
+        exp[u] = (len(tr), span,
+                  float(wsum) / float(span) if span > 0 else None)
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa_micro"])
+        for r in ts.time_weighted_avg(ev).collect()
+    }
+    assert got == exp
+
+
+def test_twa_bounded_by_min_max_value(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pyspark.sql.functions as F
+
+    lo, hi = ev.agg(
+        F.floor(F.min("value") * 1e6), F.floor(F.max("value") * 1e6)
+    ).collect()[0]
+    for r in ts.time_weighted_avg(ev).collect():
+        if r["twa_micro"] is not None:
+            assert lo <= r["twa_micro"] <= hi
+
+
+def test_ohlc_invariants_and_python_mirror(spark, sf_dir):
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    groups = {}
+    for r in ev.collect():
+        us = _us(r["ts"])
+        v = math.floor(float(r["value"]) * 1_000_000)
+        key = (r["event_type"], us // ts.US_PER_HOUR)
+        groups.setdefault(key, []).append((us, r["event_id"], v))
+    exp = {}
+    for key, g in groups.items():
+        g.sort()
+        exp[key] = (g[0][2], max(v for _, _, v in g),
+                    min(v for _, _, v in g), g[-1][2], len(g))
+    got = {
+        (r["event_type"], r["hour_id"]): (
+            r["open_mi"], r["high_mi"], r["low_mi"], r["close_mi"], r["n"]
+        )
+        for r in ts.ohlc_bars(ev).collect()
+    }
+    assert got == exp
+    for o, h, l, c, n in got.values():
+        assert l <= o <= h and l <= c <= h and n >= 1
