@@ -102,9 +102,14 @@ def grid_dbscan(
     width = max(3, len(str(n - 1)))
     key = F.format_string(f"c%0{width}d%0{width}d", F.col("x"), F.col("y"))
 
+    # Lineage-pinned (ADVICE r4): core/occ/edge joins re-expand this
+    # subtree many times; without the pin the executed plan re-scans
+    # the point source per expansion, breaking the touched-ONCE
+    # contract (tile_pyramid's grid-bounded localCheckpoint pattern).
     hist = (
         points.groupBy(gx.alias("x"), gy.alias("y"))
         .agg(F.count("*").alias("n_points"))
+        .localCheckpoint(eager=True)
     )
     # 3x3 Chebyshev neighborhood total per target cell (off-grid
     # targets are harmless: they never match an occupied cell below).
@@ -121,7 +126,13 @@ def grid_dbscan(
         )
     )
     nbr = contrib.groupBy("x", "y").agg(F.sum("n_points").alias("nbr_total"))
-    occ = hist.join(nbr, ["x", "y"]).withColumn("cell", key)
+    # occ is also pinned: it feeds the threshold aggregate, the four
+    # core self-joins, non_core, and the border explode — eight
+    # re-expansions of a <=4^level-row frame otherwise.
+    occ = (
+        hist.join(nbr, ["x", "y"]).withColumn("cell", key)
+        .localCheckpoint(eager=True)
+    )
 
     if min_pts is None:
         thr = occ.agg(

@@ -277,6 +277,7 @@ def duplicate_clusters(
         labels = ck.truncate(
             documents.select("doc_id", F.col("doc_id").alias("label")), 0
         )
+    changed = 0  # loop may be skipped entirely on resume at max_rounds
     for rnd in range(start_round, max_rounds + 1):
         neighbor = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -297,6 +298,17 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # ADVICE r4: the SQL mirrors (recursive CTEs) always reach the
+        # fixpoint; exiting silently with changed > 0 would return wrong
+        # labels that LOOK valid. A component with diameter > max_rounds
+        # must fail loudly, not hash-mismatch downstream.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds "
+            f"(last round changed {changed} labels); raise max_rounds or "
+            f"pass checkpoint_dir and re-run to continue from round "
+            f"{max_rounds}"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 

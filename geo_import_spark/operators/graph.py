@@ -302,6 +302,7 @@ def bfs_hops(lineitem: DataFrame, max_rounds: int = BFS_MAX_ROUNDS,
             ),
             0,
         )
+    changed = 0  # loop may be skipped entirely on resume at max_rounds
     for rnd in range(start_round, max_rounds + 1):
         relaxed = (
             edges.join(
@@ -327,6 +328,15 @@ def bfs_hops(lineitem: DataFrame, max_rounds: int = BFS_MAX_ROUNDS,
         dist = new_dist
         if changed == 0:
             break
+    if changed != 0:
+        # ADVICE r4: mirror the recursive CTE's convergence guarantee —
+        # a diameter above max_rounds must raise, not silently return
+        # under-relaxed distances that hash-mismatch the oracle.
+        raise RuntimeError(
+            f"bfs_hops did not converge in {max_rounds} rounds "
+            f"(last round changed {changed} distances); raise max_rounds "
+            f"or pass checkpoint_dir and re-run to resume"
+        )
     return dist.filter(F.col("hops").isNotNull()).select("node", "hops")
 
 

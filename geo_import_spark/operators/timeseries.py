@@ -245,14 +245,29 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
     ONE map-side-combined aggregate: open/close use min_by/max_by on
     a widened composite key us*10^12 + event_id (DECIMAL(38,0) here,
     HUGEINT in the mirror — DuckDB's min_by takes no struct keys, so
-    both engines order by the same exact integer; event_id < 10^12 by
-    construction). Values are floor-rounded micro-units.
+    both engines order by the same exact integer; event_id in
+    [0, 10^12) is ENFORCED at runtime — out-of-range ids raise instead
+    of silently corrupting the key). Values are floor-rounded
+    micro-units.
 
     Output: (event_type, hour_id, open_mi, high_mi, low_mi, close_mi, n).
     """
-    key = (
+    # ADVICE r4: the composite key is only injective while
+    # event_id < 10^12; an oversized id would bleed into the timestamp
+    # component and silently corrupt open/close selection. The guard
+    # lives INSIDE the key expression so column pruning can't drop it.
+    key = F.when(
+        (F.col("event_id") >= 0) & (F.col("event_id") < F.lit(10**12)),
         F.col("us").cast("decimal(38,0)") * F.lit(1_000_000_000_000)
-        + F.col("event_id")
+        + F.col("event_id"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ohlc_bars: event_id %s outside [0, 10^12) breaks the "
+                "composite (us, event_id) ordering key",
+                F.col("event_id"),
+            )
+        ).cast("decimal(38,0)")
     )
     e = events.select(
         "event_type", "event_id",
