@@ -1709,6 +1709,28 @@ def _reproject_3857(spark, sf_dir):
     )
 
 
+def _reproject_lcc(spark, sf_dir):
+    """G1 general .prj WKT reprojection (VERDICT r4 #1): a corpus
+    projected FORWARD into EPSG:2834 (Lambert Conformal Conic, the
+    reference's own .prj unit-test CRS) carried as raw WKT, inverted
+    by the engine's Snyder lcc through parse_projcs_wkt; every 7th doc
+    carries an unsupported Krovak WKT and must land in the error
+    side-channel (reproj_err=1, NULL geometry) instead of crashing the
+    task. Output quantized to floor(deg*1e4) — the corpus lattice puts
+    every value 0.17 quanta from the boundary, so the ~1e-8-quanta
+    forward+inverse residual can never flip the hash."""
+    from geo_import_spark.operators import reproject as reprojmod
+
+    parsed = geojson.geometry_spans(corpus.lcc_documents(spark, sf_dir))
+    rep = reprojmod.reproject_layers(parsed)
+    return rep.select(
+        "doc_id",
+        F.floor(F.col("geom.xs")[0] * 10000).cast("long").alias("lon_q"),
+        F.floor(F.col("geom.ys")[0] * 10000).cast("long").alias("lat_q"),
+        F.col("error").isNotNull().cast("int").alias("reproj_err"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -1902,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_merge": _layer_merge,
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
+        "reproject_lcc": _reproject_lcc,
     }
 
 
@@ -2614,4 +2637,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "layer_merge": corpus.SQL_LAYER_LABELS,
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,
+        "reproject_lcc": corpus.SQL_REPROJECT_LCC,
     }

@@ -27,6 +27,8 @@ Every formula below exists verbatim (same op order) in SQL form in
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -778,6 +780,104 @@ SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
             ELSE CAST(o_custkey AS DOUBLE) END AS a_num
 FROM orders WHERE o_orderkey % 4 IN (0, 3)
 """
+
+# Verbatim .prj WKT of the reference's EPSG:2834 fixture
+# (es6-test/fixtures/simple_points_epsg_2834.zip) — drives the WKT
+# parse path end-to-end in the driver gate.
+LCC_WKT = (
+    'PROJCS["NAD83_HARN_Ohio_North",GEOGCS["GCS_NAD83(HARN)",'
+    'DATUM["D_North_American_1983_HARN",SPHEROID["GRS_1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["Degree",0.017453292519943295]],'
+    'PROJECTION["Lambert_Conformal_Conic"],'
+    'PARAMETER["standard_parallel_1",41.7],'
+    'PARAMETER["standard_parallel_2",40.43333333333333],'
+    'PARAMETER["latitude_of_origin",39.66666666666666],'
+    'PARAMETER["central_meridian",-82.5],'
+    'PARAMETER["false_easting",600000],'
+    'PARAMETER["false_northing",0],UNIT["Meter",1]]'
+)
+
+# A projection the registry rejects (reference srs would parse it; the
+# engine routes it to the error side-channel) — exercises VERDICT r4 #1.
+BOGUS_WKT = (
+    'PROJCS["S-JTSK_Krovak",GEOGCS["GCS_S_JTSK",DATUM["D_S_JTSK",'
+    'SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Krovak"],PARAMETER["False_Easting",0.0],UNIT["Meter",1.0]]'
+)
+
+# Snyder FORWARD lcc constants for EPSG:2834, precomputed as literals
+# from the proj4 params the reference test pins (e, n, a*F, rho0) —
+# hardcoded so the generator shares NO code with the engine's inverse.
+_LCC_E = 0.08181919104281579
+_LCC_N = 0.6569503123409683
+_LCC_AF = 12260321.366982508
+_LCC_RHO0 = 7485451.598330295
+
+
+def lcc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry corpus projected with FORWARD Lambert Conformal Conic
+    (EPSG:2834, Ohio North) carried as raw .prj WKT per feature; every
+    7th doc instead carries an unsupported Krovak WKT. The lon/lat
+    lattice steps 100 microdegrees with a +17/+43 offset, so the
+    quantized floor(deg*1e4) sits 0.17 from the rounding boundary —
+    the engine's forward+inverse residual (~1e-8 quanta) can never
+    flip it, keeping the hash exact without mirroring the iterative
+    inverse in SQL."""
+    import json as _json
+
+    orders = spread_scan(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    k = F.col("o_orderkey")
+    lon = F.lit(-84.5) + ((k * 2654435761) % 40000) * 100 / 1000000.0 + F.lit(17e-6)
+    lat = F.lit(38.6) + ((k * 1779033703 + 999) % 38000) * 100 / 1000000.0 + F.lit(43e-6)
+    phi = F.radians(lat)
+    esin = F.lit(_LCC_E) * F.sin(phi)
+    ts = F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+        (F.lit(1.0) - esin) / (F.lit(1.0) + esin), F.lit(_LCC_E / 2.0)
+    )
+    rho = F.lit(_LCC_AF) * F.pow(ts, F.lit(_LCC_N))
+    th = F.lit(_LCC_N) * (F.radians(lon) - F.lit(math.radians(-82.5)))
+    x = F.lit(600000.0) + rho * F.sin(th)
+    y = F.lit(_LCC_RHO0) - rho * F.cos(th)
+    bogus = (k % 7) == 0
+    coords = F.concat(
+        F.when(bogus, F.lit("5000.0")).otherwise(x.cast("string")),
+        F.lit(","),
+        F.when(bogus, F.lit("5000.0")).otherwise(y.cast("string")),
+    )
+    crs_json = F.when(bogus, F.lit(_json.dumps(BOGUS_WKT))).otherwise(
+        F.lit(_json.dumps(LCC_WKT))
+    )
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        coords,
+        F.lit(']},"properties":{},"crs":{"type":"name","properties":{"name":'),
+        crs_json,
+        F.lit("}}}"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("geometry").alias("kind"), feature.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+        )
+    )
+    return orders.select(
+        F.concat(F.lit("doc-"), k.cast("string")).alias("doc_id"), spans.alias("spans")
+    )
+
+
+SQL_REPROJECT_LCC = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE
+         CAST(FLOOR((-84.5 + ((o_orderkey * 2654435761) % 40000) * 100
+                     / 1000000.0 + 0.000017) * 10000) AS BIGINT) END AS lon_q,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE
+         CAST(FLOOR((38.6 + ((o_orderkey * 1779033703 + 999) % 38000) * 100
+                     / 1000000.0 + 0.000043) * 10000) AS BIGINT) END AS lat_q,
+       CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS reproj_err
+FROM orders
+"""
+
 
 SQL_REPROJECT_3857 = """
 SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

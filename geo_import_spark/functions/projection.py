@@ -12,6 +12,17 @@ Implements the projections the reference test corpus exercises
 - somerc (EPSG:23700 = Hungarian EOV on GRS67 + 3-param datum shift)
   — Swiss oblique mercator per the published swisstopo formulas,
   with geocentric Helmert transform to WGS84
+- lcc (Lambert Conformal Conic, 1SP/2SP) — Snyder eq. 15-1..15-5
+  inverse; the projection behind most US StatePlane zones and the
+  reference's own municipios.zip smoke fixture and EPSG:2834 unit
+  test (es6-test/unit/shapefile.js:45-65 pins its proj4 string)
+
+Arbitrary `.prj` WKT1 `PROJCS[...]` strings parse via
+`parse_projcs_wkt` (PROJECTION name + PARAMETER list + SPHEROID +
+linear UNIT + DATUM/TOWGS84 → the same def-dict form), mirroring the
+reference's srs.parse of any .prj (es6-lib/decoders/shapefile.js:26-34).
+Unsupported projections/datums raise ValueError, which the reproject
+stage routes to the error side-channel (never a task crash).
 
 Golden targets (reference es6-test/unit/merger.js:110-184, delta 1e-9):
   EPSG:26915 (102, 0.5)  -> (-97.48783007891072, 0.00000450969282)
@@ -54,12 +65,138 @@ EPSG_DEFS = {
         "towgs84": (52.17, -71.82, -14.9),
     },
     3857: {"proj": "webmerc", "ellps": "WGS84"},  # pseudo-mercator (sphere a)
+    # NAD83(HARN) / Ohio North — the reference's .prj unit-test CRS;
+    # params = the proj4 string its test pins (es6-test/unit/
+    # shapefile.js:52: +proj=lcc +lat_1=41.7 +lat_2=40.43333333333333
+    # +lat_0=39.66666666666666 +lon_0=-82.5 +x_0=600000 +y_0=0
+    # +ellps=GRS80 +units=m +no_defs).
+    2834: {
+        "proj": "lcc",
+        "lat_1": 41.7,
+        "lat_2": 40.43333333333333,
+        "lat_0": 39.66666666666666,
+        "lon_0": -82.5,
+        "x_0": 600000.0,
+        "y_0": 0.0,
+        "ellps": "GRS80",
+        "towgs84": (0.0, 0.0, 0.0),
+    },
 }
+
+# WKT1 PROJECTION names (ESRI + OGC spellings) -> engine proj keys.
+_WKT_PROJECTIONS = {
+    "lambert_conformal_conic": "lcc",
+    "lambert_conformal_conic_2sp": "lcc",
+    "transverse_mercator": "tmerc",
+    "mercator_auxiliary_sphere": "webmerc",  # ESRI web-mercator
+    "popular_visualisation_pseudo_mercator": "webmerc",
+}
+
+# Datum names (WKT1 DATUM["..."]) that are WGS84-coincident at the
+# meter level -> implicit towgs84 (0,0,0). NAD83 and its HARN/CORS
+# realizations differ from WGS84 by < 2 m, the same approximation
+# proj4 applies when a .prj carries no TOWGS84 (and the one the
+# reference inherits through srs/proj4js).
+_NULL_SHIFT_DATUMS = re.compile(
+    r"(north[_ ]?american[_ ]?(datum[_ ])?1983|nad[_ ]?83|wgs[_ ]?(19)?84)",
+    re.IGNORECASE,
+)
+
+
+def _ellps_key(a: float, rf: float) -> str:
+    """Map SPHEROID (a, 1/f) to a named ellipsoid when it matches one
+    (1e-6 tolerance), else register the custom pair under a synthetic
+    key so every downstream helper's ELLPS lookup still works."""
+    for name, (ka, krf) in list(ELLPS.items()):
+        if abs(a - ka) < 1e-6 and abs(rf - krf) < 1e-6:
+            return name
+    key = f"CUSTOM_{a:.6f}_{rf:.9f}"
+    ELLPS[key] = (a, rf)
+    return key
+
+
+def parse_projcs_wkt(wkt: str) -> dict:
+    """WKT1 `PROJCS[...]` (OGC or ESRI flavor) -> projection def dict.
+
+    Extracts PROJECTION name, the PARAMETER list (case-insensitive
+    names — ESRI writes `False_Easting`, OGC `false_easting`),
+    SPHEROID (a, 1/f), the PROJCS linear UNIT (meters factor; US
+    survey feet StatePlane zones convert through it), and the datum
+    shift (explicit TOWGS84, else a null shift for NAD83/WGS84-family
+    datums). Raises ValueError for projections or datums outside the
+    registry — callers route that to the error side-channel.
+
+    Reference parity: es6-lib/decoders/shapefile.js:26-34 srs-parses
+    any .prj into proj4 params; this is the engine's equivalent over
+    the same WKT grammar.
+    """
+    pm = re.search(r'PROJECTION\[\s*"([^"]+)"', wkt, re.IGNORECASE)
+    if not pm:
+        raise ValueError("PROJCS WKT without a PROJECTION clause")
+    pname = pm.group(1).strip().lower()
+    proj = _WKT_PROJECTIONS.get(pname)
+    if proj is None:
+        raise ValueError(f"unsupported WKT projection {pm.group(1)!r}")
+
+    params: dict[str, float] = {}
+    for m in re.finditer(
+        r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt, re.IGNORECASE
+    ):
+        params[m.group(1).strip().lower()] = float(m.group(2))
+
+    sp = re.search(
+        r'SPHEROID\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)',
+        wkt,
+        re.IGNORECASE,
+    )
+    if not sp:
+        raise ValueError("PROJCS WKT without a SPHEROID clause")
+    ellps = _ellps_key(float(sp.group(1)), float(sp.group(2)))
+
+    tow_m = re.search(r"TOWGS84\[([^\]]*)\]", wkt, re.IGNORECASE)
+    if tow_m:
+        vals = [float(v) for v in tow_m.group(1).split(",")[:3]]
+        towgs84 = tuple(vals + [0.0] * (3 - len(vals)))
+    else:
+        dm = re.search(r'DATUM\[\s*"([^"]+)"', wkt, re.IGNORECASE)
+        dname = dm.group(1) if dm else ""
+        if not _NULL_SHIFT_DATUMS.search(dname):
+            raise ValueError(
+                f"unsupported datum {dname!r} (no TOWGS84 in WKT)"
+            )
+        towgs84 = (0.0, 0.0, 0.0)
+
+    # the PROJCS linear unit is the LAST UNIT clause in WKT1 (the
+    # GEOGCS angular unit precedes it); factor = meters per map unit.
+    units = re.findall(r'UNIT\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', wkt)
+    to_meter = float(units[-1]) if units else 1.0
+
+    d: dict = {
+        "proj": proj,
+        "ellps": ellps,
+        "towgs84": towgs84,
+        "to_meter": to_meter,
+        "lat_0": params.get("latitude_of_origin", 0.0),
+        "lon_0": params.get("central_meridian", 0.0),
+        "k_0": params.get("scale_factor", 1.0),
+        # false easting/northing are expressed in map units
+        "x_0": params.get("false_easting", 0.0) * to_meter,
+        "y_0": params.get("false_northing", 0.0) * to_meter,
+    }
+    if proj == "lcc":
+        lat1 = params.get("standard_parallel_1")
+        if lat1 is None:
+            # 1SP form: the standard parallel IS the origin latitude
+            lat1 = d["lat_0"]
+        d["lat_1"] = lat1
+        d["lat_2"] = params.get("standard_parallel_2", lat1)
+    return d
 
 
 def parse_crs(crs: str | None) -> dict | None:
-    """CRS tag (urn / EPSG:n / proj4 longlat) -> projection def, or
-    None for WGS84-equivalent (reproject skip, soql/geom.js:11-15)."""
+    """CRS tag (urn / EPSG:n / proj4 longlat / .prj WKT) -> projection
+    def, or None for WGS84-equivalent (reproject skip,
+    soql/geom.js:11-15)."""
     if crs is None or crs in WGS84_URNS:
         return None
     m = re.match(r"^(?:urn:ogc:def:crs:EPSG::|EPSG:)(\d+)$", crs)
@@ -72,6 +209,15 @@ def parse_crs(crs: str | None) -> dict | None:
         raise ValueError(f"unsupported EPSG code {code}")
     if crs.startswith("+proj=longlat"):
         return None
+    w = crs.lstrip()
+    if w.upper().startswith("PROJCS"):
+        return parse_projcs_wkt(w)
+    if w.upper().startswith("GEOGCS"):
+        # geographic .prj: identity when the datum is WGS84-coincident
+        dm = re.search(r'DATUM\[\s*"([^"]+)"', w, re.IGNORECASE)
+        if dm and _NULL_SHIFT_DATUMS.search(dm.group(1)):
+            return None
+        raise ValueError(f"unsupported geographic CRS {crs[:80]!r}")
     raise ValueError(f"unsupported CRS {crs!r}")
 
 
@@ -191,6 +337,57 @@ def somerc_inverse(x, y, lat0_deg, lon0_deg, k0, x0, y0, ellps):
     return np.degrees(lon), np.degrees(phi)
 
 
+def lcc_inverse(x, y, lat1_deg, lat2_deg, lat0_deg, lon0_deg, x0, y0, ellps):
+    """Lambert Conformal Conic E/N (meters) -> lon/lat degrees on the
+    source ellipsoid. Snyder (1987) eq. 14-1..14-2 constants with the
+    eq. 15-1..15-5 inverse; the conformal-latitude fixed point
+    converges quadratically (<1e-12 rad in <=15 rounds). Handles both
+    the 2SP secant form and 1SP (lat_1 == lat_2) tangent form, and
+    southern-hemisphere cones (n < 0)."""
+    a, rf = ELLPS[ellps]
+    f = 1.0 / rf
+    es = 2.0 * f - f * f
+    e = math.sqrt(es)
+
+    def _msfn(phi):
+        return math.cos(phi) / math.sqrt(1.0 - es * math.sin(phi) ** 2)
+
+    def _tsfn(phi):
+        s = e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+
+    phi1 = math.radians(lat1_deg)
+    phi2 = math.radians(lat2_deg)
+    phi0 = math.radians(lat0_deg)
+    m1, t1 = _msfn(phi1), _tsfn(phi1)
+    if abs(phi1 - phi2) > 1e-10:
+        n = (math.log(m1) - math.log(_msfn(phi2))) / (
+            math.log(t1) - math.log(_tsfn(phi2))
+        )
+    else:
+        n = math.sin(phi1)
+    F_ = m1 / (n * t1**n)
+    rho0 = a * F_ * _tsfn(phi0) ** n
+
+    dx = np.asarray(x, dtype=np.float64) - x0
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - y0)
+    if n < 0.0:
+        dx, dy = -dx, -dy
+    rho = np.hypot(dx, dy)
+    theta = np.arctan2(dx, dy)
+    t = (rho / (a * abs(F_))) ** (1.0 / n)
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(15):
+        s = e * np.sin(phi)
+        prev = phi
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+        if np.max(np.abs(phi - prev)) < 1e-12:
+            break
+    phi = np.where(rho == 0.0, math.copysign(math.pi / 2.0, n), phi)
+    lon = math.radians(lon0_deg) + theta / n
+    return np.degrees(lon), np.degrees(phi)
+
+
 def webmerc_inverse(x, y):
     """EPSG:3857 meters -> lon/lat degrees (spherical, exact)."""
     a = ELLPS["WGS84"][0]
@@ -256,7 +453,16 @@ def to_wgs84(crs: str | None, x: np.ndarray, y: np.ndarray):
     if d is None:
         return x, y
     proj = d["proj"]
-    if proj == "utm":
+    tm = d.get("to_meter", 1.0)
+    if tm != 1.0:  # map units (e.g. US survey feet) -> meters
+        x = np.asarray(x, dtype=np.float64) * tm
+        y = np.asarray(y, dtype=np.float64) * tm
+    if proj == "lcc":
+        lon, lat = lcc_inverse(
+            x, y, d["lat_1"], d["lat_2"], d["lat_0"], d["lon_0"],
+            d.get("x_0", 0.0), d.get("y_0", 0.0), d["ellps"],
+        )
+    elif proj == "utm":
         lon0 = 6 * d["zone"] - 183
         lon, lat = tmerc_inverse(x, y, lon0, 0.9996, 500000.0, 0.0, d["ellps"])
     elif proj == "tmerc":

@@ -9,7 +9,10 @@ limited to O(rings) offset surgery for the semantics fixes.
 
 Arity violations are caught at parse time (sources/*), so this stage
 only transforms; the reproject skip when src == WGS84
-(soql/geom.js:11-15) happens per CRS group.
+(soql/geom.js:11-15) happens per CRS group. An UNSUPPORTED CRS nulls
+that group's geometry into the error side-channel (VERDICT r4 #1) —
+the task never crashes, matching the engine's G2 contract and the
+reference's surfacing of srs parse failures.
 """
 
 from __future__ import annotations
@@ -18,32 +21,37 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from geo_import_spark.functions import geomkern, projection
 from geo_import_spark.sources.geojson import GEOM_TYPE
 
+REPROJ_TYPE = T.StructType(
+    [
+        T.StructField("geom", GEOM_TYPE),
+        T.StructField("error", T.StringType()),
+    ]
+)
 
-@pandas_udf(GEOM_TYPE)
+
+@pandas_udf(REPROJ_TYPE)
 def fix_and_reproject(geom: pd.DataFrame, crs: pd.Series) -> pd.DataFrame:
     """Whole-batch vectorized path (VERDICT r2 #6): ring surgery runs
     as ONE NumPy pass over batch-flat coordinate arrays
     (geomkern.batch_fix_rings — per-row Python is O(rows) offset
     bookkeeping, never per-vertex), then each CRS group of the flat
     arrays is transformed in one vectorized projection call and split
-    back per row."""
+    back per row. A CRS group whose projection raises gets
+    (geom=NULL, error=<message>) for every row of the group instead
+    of failing the task (VERDICT r4 #1)."""
     n = len(crs)
-    out = {
-        "gtype": [None] * n,
-        "part_offsets": [None] * n,
-        "ring_offsets": [None] * n,
-        "xs": [None] * n,
-        "ys": [None] * n,
-    }
+    geoms: list = [None] * n
+    errs: list = [None] * n
     gt_col = geom["gtype"] if "gtype" in geom else pd.Series([None] * n)
     valid = gt_col.notna().values
     if not valid.any():
-        return pd.DataFrame(out)
+        return pd.DataFrame({"geom": geoms, "error": errs})
     vidx = np.nonzero(valid)[0]
     gts = gt_col.values[vidx]
     po_l = geom["part_offsets"].values[vidx]
@@ -59,29 +67,48 @@ def fix_and_reproject(geom: pd.DataFrame, crs: pd.Series) -> pd.DataFrame:
     coord_codes = np.repeat(codes, np.diff(row_bounds))
     lon = np.empty_like(flat_x)
     lat = np.empty_like(flat_y)
+    row_ok = np.ones(len(vidx), dtype=bool)
     for t, tag in enumerate(uniq):
         m = coord_codes == t
-        lon[m], lat[m] = projection.to_wgs84(tag or None, flat_x[m], flat_y[m])
+        try:
+            lon[m], lat[m] = projection.to_wgs84(tag or None, flat_x[m], flat_y[m])
+        except ValueError as ex:
+            bad = np.nonzero(codes == t)[0]
+            row_ok[bad] = False
+            msg = f"reproject: {ex}"
+            for j in bad:
+                errs[vidx[j]] = msg
 
     xs_rows = np.split(lon, row_bounds[1:-1])
     ys_rows = np.split(lat, row_bounds[1:-1])
     for k, i in enumerate(vidx):
-        out["gtype"][i] = gts[k]
-        out["part_offsets"][i] = list(po_l[k])
-        out["ring_offsets"][i] = new_ro[k]
-        out["xs"][i] = xs_rows[k].tolist()
-        out["ys"][i] = ys_rows[k].tolist()
-    return pd.DataFrame(out)
+        if not row_ok[k]:
+            continue
+        geoms[i] = {
+            "gtype": gts[k],
+            "part_offsets": list(po_l[k]),
+            "ring_offsets": new_ro[k],
+            "xs": xs_rows[k].tolist(),
+            "ys": ys_rows[k].tolist(),
+        }
+    return pd.DataFrame({"geom": geoms, "error": errs})
 
 
 def reproject_layers(assigned: DataFrame) -> DataFrame:
     """Replace `geom` with the fixed + WGS84-reprojected geometry.
-    Null geometries stay null."""
-    g2 = fix_and_reproject("geom", "crs")
-    return assigned.withColumn(
-        "geom",
-        F.when(F.col("geom").isNull(), F.lit(None).cast(GEOM_TYPE)).otherwise(g2),
-    ).withColumn("crs", F.lit("EPSG:4326"))
+    Null geometries stay null; rows whose CRS the projection registry
+    rejects keep a NULL geometry and carry the message in the `error`
+    side-channel column (merged with any parse-time error)."""
+    r = fix_and_reproject("geom", "crs")
+    out = assigned.withColumn(
+        "_rp",
+        F.when(F.col("geom").isNull(), F.lit(None).cast(REPROJ_TYPE)).otherwise(r),
+    ).withColumn("geom", F.col("_rp.geom"))
+    if "error" in assigned.columns:
+        out = out.withColumn("error", F.coalesce(F.col("error"), F.col("_rp.error")))
+    else:
+        out = out.withColumn("error", F.col("_rp.error"))
+    return out.drop("_rp").withColumn("crs", F.lit("EPSG:4326"))
 
 
 def wgs84_bbox(df: DataFrame) -> dict:

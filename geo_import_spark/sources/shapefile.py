@@ -173,9 +173,12 @@ def parse_dbf(data: bytes) -> list[list[tuple] | None]:
 
 def parse_prj(wkt: str) -> str:
     """WKT -> CRS tag the projection module understands. Geographic
-    WGS84 WKT -> identity; otherwise pass the WKT through (callers
-    with unsupported CRSs get a reproject error row, matching the
-    reference's behavior of surfacing srs parse failures)."""
+    WGS84 WKT -> identity; otherwise pass the WKT through —
+    projection.parse_crs parses PROJCS/GEOGCS WKT generically
+    (lcc/tmerc/webmerc + SPHEROID + linear UNIT + datum shift), and
+    callers with genuinely unsupported CRSs get a reproject error row
+    (operators/reproject.py), matching the reference's surfacing of
+    srs parse failures."""
     w = wkt.strip()
     if w.startswith("GEOGCS") and ("WGS_1984" in w or "WGS 84" in w):
         return DEFAULT_PRJ
