@@ -110,6 +110,61 @@ def parse_shp(data: bytes) -> list[dict | None]:
     return geoms
 
 
+def dbf_layout(header: bytes) -> tuple[list[tuple], int, int, int]:
+    """DBF header bytes -> (fields, header_size, record_size,
+    n_records). Exposed separately so the record-range fan-out path
+    (shpsplit.py) can random-access fixed-size records per task."""
+    n_records = struct.unpack("<I", header[4:8])[0]
+    header_size = struct.unpack("<H", header[8:10])[0]
+    record_size = struct.unpack("<H", header[10:12])[0]
+    fields = []
+    pos = 32
+    while pos < header_size - 1 and header[pos] != 0x0D:
+        desc = header[pos : pos + 32]
+        name = desc[:11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(desc[11])
+        length = desc[16]
+        fields.append((name, ftype, length))
+        pos += 32
+    return fields, header_size, record_size, n_records
+
+
+def dbf_record(rec: bytes, fields: list[tuple]) -> list[tuple] | None:
+    """One fixed-size DBF record -> ordered [(name, value, ctype)...],
+    or None for a deleted (b'*') record."""
+    if not rec or rec[0:1] == b"*":
+        return None
+    out = []
+    off = 1
+    for name, ftype, length in fields:
+        # the reference reads DBF text as UTF-8 (shapefile.js:227
+        # `shapefile.reader(shp, 'utf-8')`; smoke municipios.zip
+        # carries UTF-8 accents) with U+FFFD replacement
+        raw = rec[off : off + length].decode("utf-8", "replace")
+        off += length
+        s = raw.strip().strip("\x00")  # NUL-padded text (soql/text.js:13)
+        if ftype in ("N", "F"):
+            if s == "":
+                out.append((name, None, "null"))
+            else:
+                try:
+                    out.append((name, float(s), "number"))
+                except ValueError:
+                    out.append((name, None, "null"))
+        elif ftype == "L":
+            if s in ("T", "t", "Y", "y"):
+                out.append((name, True, "boolean"))
+            elif s in ("F", "f", "N", "n"):
+                out.append((name, False, "boolean"))
+            else:
+                out.append((name, None, "null"))
+        elif ftype == "D" and len(s) == 8:
+            out.append((name, f"{s[0:4]}-{s[4:6]}-{s[6:8]}T00:00:00.000Z", "string"))
+        else:
+            out.append((name, s, "string"))
+    return out
+
+
 def parse_dbf(data: bytes) -> list[list[tuple] | None]:
     """.dbf bytes -> per-record ordered [(name, value, ctype), ...].
 
@@ -117,57 +172,13 @@ def parse_dbf(data: bytes) -> list[list[tuple] | None]:
     .shp records are positional, so dropping a deleted DBF row would
     shift every subsequent record's attributes onto the wrong geometry
     (silent corruption). Callers skip the (geom, None) pair."""
-    n_records = struct.unpack("<I", data[4:8])[0]
-    header_size = struct.unpack("<H", data[8:10])[0]
-    record_size = struct.unpack("<H", data[10:12])[0]
-    fields = []
-    pos = 32
-    while pos < header_size - 1 and data[pos] != 0x0D:
-        desc = data[pos : pos + 32]
-        name = desc[:11].split(b"\x00")[0].decode("ascii", "replace")
-        ftype = chr(desc[11])
-        length = desc[16]
-        fields.append((name, ftype, length))
-        pos += 32
+    fields, header_size, record_size, n_records = dbf_layout(data)
     out = []
     pos = header_size
     for _ in range(n_records):
         rec = data[pos : pos + record_size]
         pos += record_size
-        if not rec or rec[0:1] == b"*":  # deleted -> placeholder
-            out.append(None)
-            continue
-        row = []
-        off = 1
-        for name, ftype, length in fields:
-            # the reference reads DBF text as UTF-8 (shapefile.js:227
-            # `shapefile.reader(shp, 'utf-8')`; smoke municipios.zip
-            # carries UTF-8 accents) with U+FFFD replacement
-            raw = rec[off : off + length].decode("utf-8", "replace")
-            off += length
-            s = raw.strip().strip("\x00")  # NUL-padded text (soql/text.js:13)
-            if ftype in ("N", "F"):
-                if s == "":
-                    row.append((name, None, "null"))
-                else:
-                    try:
-                        row.append((name, float(s), "number"))
-                    except ValueError:
-                        row.append((name, None, "null"))
-            elif ftype == "L":
-                if s in ("T", "t", "Y", "y"):
-                    row.append((name, True, "boolean"))
-                elif s in ("F", "f", "N", "n"):
-                    row.append((name, False, "boolean"))
-                else:
-                    row.append((name, None, "null"))
-            elif ftype == "D" and len(s) == 8:
-                row.append(
-                    (name, f"{s[0:4]}-{s[4:6]}-{s[6:8]}T00:00:00.000Z", "string")
-                )
-            else:
-                row.append((name, s, "string"))
-        out.append(row)
+        out.append(dbf_record(rec, fields))
     return out
 
 
