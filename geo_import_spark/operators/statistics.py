@@ -422,7 +422,11 @@ FROM c WHERE 2 * cum_w >= tot_w GROUP BY flag
 """
 
 
-def theil_sen(orders: DataFrame) -> DataFrame:
+THEIL_SEN_MAX_GROUP = 256  # pair guard: n>(this) => 32k+ pairs/group
+
+
+def theil_sen(orders: DataFrame,
+              max_group: int = THEIL_SEN_MAX_GROUP) -> DataFrame:
     """Theil-Sen robust trend per customer: the lower median of all
     pairwise slopes (price cents per day) over the customer's orders —
     the classic outlier-resistant alternative to OLS.
@@ -431,11 +435,18 @@ def theil_sen(orders: DataFrame) -> DataFrame:
     customer stays ~constant as the table grows), so the quadratic
     blowup is per-group bounded and the whole operator is one
     self-equi-join on cust + one window keyed by cust: both share the
-    hash partitioning; nothing global. Slopes are doubles of exact
-    int64 differences (one identical division both engines); the
-    LOWER median is the ceil(m/2)-th smallest VALUE — well-defined
-    under ties, so the row_number pick hashes identically. Same-day
-    pairs are excluded on both sides (undefined slope).
+    hash partitioning; nothing global. Because "~constant" is a
+    corpus property, not a law (ADVICE/VERDICT r4 #4: power-law real
+    data breaks it), a per-group ORDER-COUNT GUARD excludes groups
+    with more than max_group orders from the pair join entirely —
+    the maxVerticesPerRow pattern — and emits a deterministic capped
+    verdict (n_pairs NULL, sen_slope NULL) for them, mirrored exactly
+    in the SQL oracle. One hot customer at 100x can therefore never
+    create an O(n^2) partition. Slopes are doubles of exact int64
+    differences (one identical division both engines); the LOWER
+    median is the ceil(m/2)-th smallest VALUE — well-defined under
+    ties, so the row_number pick hashes identically. Same-day pairs
+    are excluded on both sides (undefined slope).
 
     Output: (cust, n_pairs, sen_slope).
     """
@@ -447,7 +458,16 @@ def theil_sen(orders: DataFrame) -> DataFrame:
         .alias("d"),
         _cents(F.col("o_totalprice")).alias("p"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
+    cnt = pts.groupBy("cust").agg(F.count("*").alias("n_orders"))
+    eligible = pts.join(
+        cnt.filter(F.col("n_orders") <= int(max_group)).select("cust"), "cust"
+    )
+    capped = cnt.filter(F.col("n_orders") > int(max_group)).select(
+        "cust",
+        F.lit(None).cast("long").alias("n_pairs"),
+        F.lit(None).cast("double").alias("sen_slope"),
+    )
+    a, b = eligible.alias("a"), eligible.alias("b")
     pairs = a.join(
         b,
         (F.col("a.cust") == F.col("b.cust"))
@@ -471,7 +491,7 @@ def theil_sen(orders: DataFrame) -> DataFrame:
         F.col("rn") == F.expr("(m + 1) DIV 2")
     ).select(
         "cust", F.col("m").alias("n_pairs"), F.col("slope").alias("sen_slope")
-    )
+    ).unionByName(capped)
 
 
 SQL_THEIL_SEN = f"""
@@ -480,11 +500,14 @@ WITH pts AS (
          CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d,
          {SQL_CENTS.format(x="o_totalprice")} AS p
   FROM orders
+), cnt AS (
+  SELECT cust, COUNT(*) AS n_orders FROM pts GROUP BY cust
 ), pairs AS (
   SELECT a.cust AS cust,
          CAST(b.p - a.p AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
   FROM pts a JOIN pts b
     ON a.cust = b.cust AND a.k < b.k AND a.d != b.d
+  JOIN cnt ON cnt.cust = a.cust AND cnt.n_orders <= {THEIL_SEN_MAX_GROUP}
 ), ranked AS (
   SELECT cust, slope,
          row_number() OVER (PARTITION BY cust ORDER BY slope) AS rn,
@@ -493,4 +516,8 @@ WITH pts AS (
 )
 SELECT cust, m AS n_pairs, slope AS sen_slope
 FROM ranked WHERE rn = (m + 1) // 2
+UNION ALL
+SELECT cust, CAST(NULL AS BIGINT) AS n_pairs,
+       CAST(NULL AS DOUBLE) AS sen_slope
+FROM cnt WHERE n_orders > {THEIL_SEN_MAX_GROUP}
 """

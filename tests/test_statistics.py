@@ -155,3 +155,33 @@ def test_theil_sen_matches_python(spark, sf_dir):
     }
     assert got == exp
     assert got
+
+
+def test_theil_sen_hot_group_capped(spark):
+    """VERDICT r4 #4: a power-law customer above max_group must get a
+    deterministic capped verdict (NULL n_pairs/sen_slope) and never
+    enter the pairwise join; small groups are computed exactly."""
+    import datetime as dt
+
+    rows = []
+    epoch = dt.date(1995, 1, 1)
+    for i in range(40):  # hot customer: 40 orders -> 780 would-be pairs
+        rows.append((1000 + i, 7, epoch + dt.timedelta(days=i), 100.0 + i))
+    small_pts = [(0, 100.00), (3, 103.30), (7, 101.40), (10, 110.00)]
+    for j, (d, p) in enumerate(small_pts):
+        rows.append((2000 + j, 8, epoch + dt.timedelta(days=d), p))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, "
+              "o_totalprice double",
+    )
+    out = {r["cust"]: r for r in st.theil_sen(orders, max_group=10).collect()}
+    assert set(out) == {7, 8}
+    assert out[7]["n_pairs"] is None and out[7]["sen_slope"] is None
+    # brute-force lower median for the small group (cents/day)
+    pts = [(2000 + j, d, round(p * 100)) for j, (d, p) in enumerate(small_pts)]
+    slopes = sorted(
+        (b[2] - a[2]) / (b[1] - a[1])
+        for i, a in enumerate(pts) for b in pts[i + 1:] if a[1] != b[1]
+    )
+    assert out[8]["n_pairs"] == len(slopes) == 6
+    assert out[8]["sen_slope"] == slopes[(len(slopes) + 1) // 2 - 1]
