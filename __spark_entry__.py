@@ -1169,6 +1169,18 @@ def _media_resize(spark, sf_dir):
     return multimodal.resize_plan(_media_features(spark, sf_dir))
 
 
+def _media_pixel_stats(spark, sf_dir):
+    """REAL codec path: synthesize spec-conformant BMP bytes per media
+    span, then parse them with the pure-NumPy BMP decoder and emit
+    exact per-channel pixel sums. The oracle recomputes the sums from
+    the generation formula — the Spark side only matches by correctly
+    round-tripping genuine BMP headers/padding/BGR rows."""
+    docs = corpus.documents(spark, sf_dir)
+    return multimodal.media_pixel_stats(
+        multimodal.synthesize_bmp(tiling.media_spans(docs))
+    )
+
+
 def _events_sliding(spark, sf_dir):
     """Sliding 1h/15m windows: overlapping per-type counts + sums."""
     return eventsmod.sliding_counts(_events(spark, sf_dir))
@@ -1856,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_standardize": _embed_standardize,
         "media_features": _media_features,
         "media_resize": _media_resize,
+        "media_pixel_stats": _media_pixel_stats,
         "events_window": _events_window,
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
@@ -2546,6 +2559,14 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
                    CAST(2 AS INTEGER) AS span_offset,
                    'media://' || CAST((o_orderkey * 1103515245 + 12345) % 4294967296 AS VARCHAR) AS media_ref
+            FROM orders WHERE o_orderkey % 2 = 0
+            """
+        ),
+        "media_pixel_stats": multimodal.sql_media_pixel_stats(
+            """
+            SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(2 AS INTEGER) AS span_offset,
+                   (o_orderkey * 1103515245 + 12345) % 4294967296 AS n
             FROM orders WHERE o_orderkey % 2 = 0
             """
         ),
