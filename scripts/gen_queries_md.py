@@ -25,8 +25,13 @@ def main() -> None:
     header = (
         "# QUERIES — driver-checked query index\n\n"
         f"{n} queries registered in `__spark_entry__.queries()`; {m} carry "
-        "DuckDB value-hash oracles (the rest are rows-only "
-        "iterative-geometry checks). Each line: name — what it computes "
+        "DuckDB value-hash oracles"
+        + (
+            " (the rest are rows-only checks)"
+            if m < n
+            else " — every registered query is value-hash-checked"
+        )
+        + ". Each line: name — what it computes "
         "(from the wrapper docstring); *(rows-only)* marks entries without "
         "a SQL oracle.\n\n"
     )
