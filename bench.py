@@ -146,7 +146,12 @@ def run_workload(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
     }
 
 
-SCALING_DIR = "/tmp/spark_graft_scaling"
+# Local scratch by default; a real cluster points this at shared
+# storage so the prepare-once input is visible to every executor
+# across the N and 4N measurement runs. The _DONE marker + cleanup
+# use local-fs calls, so use a mounted path (NFS/fuse); for raw
+# HDFS/S3 URIs run the prepare step once and skip re-prepare.
+SCALING_DIR = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/spark_graft_scaling")
 
 
 def prepare_scaling_input(sf_dir: str, replicate: int) -> str:
@@ -333,6 +338,16 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if "--scaling-prepare-only" in sys.argv:
+        # Cluster rehearsal step 2 (scripts/scaling_rehearsal.sh
+        # --print-cluster-cmds): materialize the replicated input once
+        # and print its path, so the two spark-submit measurement runs
+        # share it. On a real cluster point SPARK_GRAFT_SCALING_DIR at
+        # shared storage (HDFS/S3 path) before running.
+        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "128"))
+        print(json.dumps({"prepared": prepare_scaling_input(sf_dir, rep)}))
         return
 
     if "--scale-worker" in sys.argv:

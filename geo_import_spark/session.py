@@ -24,8 +24,14 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
+    # Real-cluster override: SPARK_GRAFT_MASTER=yarn|spark://... makes
+    # every entry point (bench.py, run_job.py, tests) submit against a
+    # genuine multi-executor master; executor count/size then come
+    # from spark-submit flags (--num-executors etc.), and `cpus` only
+    # sizes shuffle partitions + GC threads. Unset = local[cpus].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
