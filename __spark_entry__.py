@@ -950,6 +950,37 @@ def _bfs_hops(spark, sf_dir):
     )
 
 
+def _weighted_sssp(spark, sf_dir):
+    """Weighted SSSP: Bellman-Ford shortest-path cost from the min
+    supplier over the co-occurrence graph with integer dissimilarity
+    costs (100 div w + 1); one edges x frontier join + min-merge per
+    round, convergence asserted (operators/graph.weighted_sssp)."""
+    return graphmod.weighted_sssp(
+        corpus.spread_scan(
+            spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        )
+    )
+
+
+def _dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans: maximal runs of 16-char
+    windows whose text occurs in >= 2 window slots corpus-wide
+    (window-granular substring dedup, operators/dedup.dup_spans)."""
+    return dedupmod.dup_spans(_docs(spark, sf_dir))
+
+
+def _media_ahash_groups(spark, sf_dir):
+    """Near-dup image groups by perceptual hash: decode the real BMP
+    payload per media span, compute the exact-integer 4x4 aHash, and
+    group colliding images (operators/multimodal.media_ahash_groups).
+    The oracle recomputes the hash from the pixel formula — Spark
+    matches only by correctly round-tripping genuine BMP bytes."""
+    docs = corpus.documents(spark, sf_dir)
+    return multimodal.media_ahash_groups(
+        multimodal.synthesize_bmp(tiling.media_spans(docs))
+    )
+
+
 def _segment_intersect(spark, sf_dir):
     """Exact line-segment intersection join (layer A <- supplier,
     layer B <- customer): cell equi-join + bigint CLRS predicate."""
@@ -1817,6 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_segments": _near_segments,
         "pagerank": _pagerank,
         "bfs_hops": _bfs_hops,
+        "weighted_sssp": _weighted_sssp,
+        "dup_spans": _dup_spans,
+        "media_ahash_groups": _media_ahash_groups,
         "heavy_hitters": _heavy_hitters,
         "frame_diff": _frame_diff,
         "table_checksum": _table_checksum,
@@ -2472,6 +2506,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": graphmod.SQL_PAGERANK,
         "bfs_hops": graphmod.sql_bfs_hops(),
+        "weighted_sssp": graphmod.sql_weighted_sssp(),
+        "dup_spans": dedupmod.sql_dup_spans(),
+        "media_ahash_groups": multimodal.sql_media_ahash_groups(
+            """
+            SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(2 AS INTEGER) AS span_offset,
+                   (o_orderkey * 1103515245 + 12345) % 4294967296 AS n
+            FROM orders WHERE o_orderkey % 2 = 0
+            """
+        ),
         "heavy_hitters": textops.SQL_HEAVY_HITTERS,
         "frame_diff": _sql_frame_diff(),
         "table_checksum": _sql_table_checksum(),

@@ -498,3 +498,97 @@ FROM b a JOIN b c
   ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
 WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (window-granular substring dedup)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 16
+
+
+def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Maximal runs of exactly-duplicated text windows — the
+    window-granular form of exact substring deduplication (Lee et al.
+    2022's suffix-array dedup, restricted to a fixed window lattice so
+    the plan is two linear shuffles instead of a suffix sort).
+
+    Each doc is cut into non-overlapping k-char windows; a window is
+    DUPLICATED when its exact text occurs in >= 2 window slots
+    anywhere in the corpus (cross-doc or within-doc). Adjacent
+    duplicated windows merge into maximal char spans (the removal
+    candidates for a training-data pipeline).
+
+    Output: (doc_id, start_off, end_off, n_windows) — [start, end)
+    char offsets, 0-based.
+
+    Plan: window explode is map-side (sequence/transform, output =
+    total_chars/k rows); ONE shuffle on window hash builds df and
+    inner-joins the >= 2 set back (never broadcast — the dup set is
+    corpus-sized in the worst case); ONE shuffle on doc_id runs the
+    gaps-and-islands window. Both shuffles are linear in corpus
+    chars/k; no join can fan out (df join is on the full hash and
+    re-keys by slot).
+    """
+    ex = (
+        documents.filter(F.length("text") >= k)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length(text) div {k} - 1), "
+                    f"i -> named_struct('i', i, "
+                    f"'h', md5(substring(text, 1 + i * {k}, {k}))))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").cast("long").alias("i"), F.col("w.h").alias("h"))
+    )
+    dup_h = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 2
+    )
+    marked = ex.join(dup_h.select("h"), "h")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        marked.select(
+            "doc_id", "i",
+            (F.col("i") - F.row_number().over(win)).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("i0"),
+            F.max("i").alias("i1"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i0") * k).cast("long").alias("start_off"),
+            ((F.col("i1") + 1) * k).cast("long").alias("end_off"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+
+
+def sql_dup_spans(k: int = DUP_SPAN_K) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(range(0, length(text) // {k})) AS i, text
+  FROM documents WHERE length(text) >= {k}
+), w AS (
+  SELECT doc_id, i,
+         md5(substr(text, CAST(1 + i * {k} AS INTEGER), {k})) AS h
+  FROM ex
+), dups AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, i FROM w JOIN dups USING (h)),
+g AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM m
+)
+SELECT doc_id, CAST(MIN(i) * {k} AS BIGINT) AS start_off,
+       CAST((MAX(i) + 1) * {k} AS BIGINT) AS end_off,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, grp
+"""

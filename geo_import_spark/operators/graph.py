@@ -358,3 +358,150 @@ WITH RECURSIVE os AS (
 )
 SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest path (Bellman-Ford relaxation)
+# ---------------------------------------------------------------------------
+
+SSSP_MAX_ROUNDS = 12
+
+
+def _weighted_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected cost edges over the co-occurrence graph: the
+    standard affinity->dissimilarity flip, cost = 100 div w + 1
+    (BIGINT, positive), so strongly co-ordered suppliers are CLOSE.
+    Both directions of each oriented edge carry the same cost."""
+    e = cooccur_edges(lineitem).select(
+        "src", "dst", F.expr("100 div w + 1").cast("long").alias("c")
+    )
+    return e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "c")
+    )
+
+
+def weighted_sssp(lineitem: DataFrame, max_rounds: int = SSSP_MAX_ROUNDS,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """(node, dist) — exact weighted shortest-path cost from the
+    minimum supplier id, Bellman-Ford relaxation over the undirected
+    cost graph (cost = 100 div w + 1 per edge; see _weighted_edges).
+
+    bfs_hops generalized from hop counting to weighted relaxation:
+    per round, ONE edges x settled-frontier equi-join plus a
+    min-merge groupBy on node; positive integer costs converge in at
+    most (longest shortest path in hops) rounds, and the loop stops
+    the round nothing improves. Lineage truncates per round
+    (localCheckpoint); `checkpoint_dir` swaps in durable parquet
+    rounds with kill-and-resume (plans/itercheckpoint.py). Exceeding
+    `max_rounds` with changes still pending RAISES (the bfs_hops /
+    duplicate_clusters convergence contract) — never silently
+    returns under-relaxed distances.
+
+    The DuckDB mirror unrolls exactly `max_rounds` min-merge rounds
+    (relaxation is idempotent after the fixpoint, so early exit on
+    the Spark side cannot diverge from the full unroll). Only
+    reachable nodes appear; distances are exact BIGINTs.
+    """
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    ck = LoopCheckpointer(checkpoint_dir, name="sssp")
+    edges = _weighted_edges(lineitem).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    src0 = nodes.agg(F.min("node").alias("s0"))
+
+    start_round = 1
+    dist = None
+    if ck.durable:
+        last, saved = ck.latest(lineitem.sparkSession)
+        if last is not None:
+            dist, start_round = saved, last + 1
+    if dist is None:
+        dist = ck.truncate(
+            nodes.crossJoin(F.broadcast(src0)).select(
+                "node",
+                F.when(F.col("node") == F.col("s0"), F.lit(0))
+                .cast("long")
+                .alias("dist"),
+            ),
+            0,
+        )
+    changed = 0
+    for rnd in range(start_round, max_rounds + 1):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("dist").isNotNull()),
+                edges["src"] == F.col("node"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("c")).alias("dist"),
+            )
+        )
+        new_dist = ck.truncate(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist")),
+            rnd,
+        )
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "node")
+            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"weighted_sssp did not converge in {max_rounds} rounds "
+            f"(last round changed {changed} distances); raise max_rounds "
+            f"or pass checkpoint_dir and re-run to resume"
+        )
+    return dist.filter(F.col("dist").isNotNull()).select("node", "dist")
+
+
+def sql_weighted_sssp(max_rounds: int = SSSP_MAX_ROUNDS) -> str:
+    """Unrolled Bellman-Ford mirror: d_{k+1}(v) = min(d_k(v),
+    min_{(u,v)} d_k(u) + c(u,v)), exactly `max_rounds` rounds — a
+    no-op after the fixpoint the Spark side asserts it reaches."""
+    rounds = []
+    prev = "d0"
+    for k in range(1, max_rounds + 1):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous one twice (keep + relax); inlined CTEs would expand
+        # the chain 2^k times.
+        rounds.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.c AS dist
+    FROM {prev} p JOIN e ON e.src = p.node
+    WHERE p.dist IS NOT NULL
+  ) GROUP BY node
+)""")
+        prev = f"d{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH os AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.s AS src, b.s AS dst,
+         CAST(100 // count(*) + 1 AS BIGINT) AS c
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+e AS MATERIALIZED (
+  SELECT src, dst, c FROM e0 UNION ALL SELECT dst, src, c FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+d0 AS (
+  SELECT node,
+         CASE WHEN node = (SELECT MIN(node) FROM nodes)
+              THEN CAST(0 AS BIGINT) END AS dist
+  FROM nodes
+),
+{chain}
+SELECT node, dist FROM {prev} WHERE dist IS NOT NULL
+"""

@@ -285,3 +285,117 @@ SELECT doc_id, span_offset, media_ref,
                  ELSE 1 END AS INTEGER) AS n_frames
 FROM h
 """
+
+
+# --- Perceptual hash (aHash) over real decoded pixels -----------------------
+
+def _ahash16(r: np.ndarray) -> int:
+    """16-bit average hash of one channel plane: 4x4 block means vs
+    the global mean, bit (by*4+bx) set when the block is brighter.
+    Exact integer compare (block_sum * n_pixels > total * block_n) —
+    no float means, so the SQL mirror lands on identical bits."""
+    h_, w_ = r.shape
+    bx = (np.arange(w_, dtype=np.int64) * 4) // w_
+    by = (np.arange(h_, dtype=np.int64) * 4) // h_
+    bs = np.zeros((4, 4), dtype=np.int64)
+    np.add.at(bs, (by[:, None], bx[None, :]), r.astype(np.int64))
+    bn = np.bincount(by, minlength=4)[:, None] * np.bincount(bx, minlength=4)[None, :]
+    total = int(r.sum(dtype=np.int64))
+    npix = h_ * w_
+    bits = (bs * npix) > (total * bn)
+    idx = (np.arange(4)[:, None] * 4 + np.arange(4)[None, :]).astype(np.int64)
+    return int(((1 << idx) * bits).sum())
+
+
+def media_ahash(media_with_bytes: DataFrame) -> DataFrame:
+    """Perceptual hash per media span: decode the real BMP payload and
+    compute the classic average hash (aHash) on the R plane — a 4x4
+    block grid (the corpus floor is 4x4 images), each bit = block mean
+    above the global mean, resolution-invariant by construction.
+
+    Scale shape: mapInPandas over Arrow batches, no shuffle, one image
+    in flight per row; same plan as media_pixel_stats with a different
+    per-image fold. Output: (doc_id, span_offset, ahash BIGINT).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for blob in pdf["media_bytes"]:
+                _w, _h, r, _g, _b = bmp.decode_bmp(bytes(blob))
+                hashes.append(_ahash16(r))
+            out = pdf[["doc_id", "span_offset"]].copy()
+            out["ahash"] = pd.Series(hashes, dtype="int64")
+            yield out
+
+    return media_with_bytes.select(
+        "doc_id", "span_offset", "media_bytes"
+    ).mapInPandas(run, schema="doc_id string, span_offset int, ahash bigint")
+
+
+def media_ahash_groups(media_with_bytes: DataFrame) -> DataFrame:
+    """Near-dup image dedup by exact perceptual-hash match: images
+    whose aHash collides are visually-similar candidates (identical
+    block-brightness pattern); one representative per group survives.
+
+    Output: (ahash, n_imgs, min_doc) for groups of >= 2, the
+    dedup_exact contract transplanted to decoded pixels. Plan: the
+    map-only decode above + ONE map-side-combined aggregate keyed by
+    the 16-bit hash (bounded output: <= 65536 groups) — group sizes
+    may be large but the aggregate is a count/min fold, never a
+    within-group pair join, so hot hashes (smooth gradients collide a
+    lot) cost nothing extra.
+    """
+    return (
+        media_ahash(media_with_bytes)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_imgs") >= 2)
+    )
+
+
+def sql_media_ahash_groups(media_n_cte: str) -> str:
+    """DuckDB mirror: recompute the aHash from the pixel-generation
+    formula (never from bytes) — Spark only matches by correctly
+    decoding the BMP it encoded, same proof shape as
+    sql_media_pixel_stats."""
+    return f"""
+WITH m AS ({media_n_cte}), dims AS (
+  SELECT doc_id, span_offset, n,
+         CAST(4 + n % 29 AS INTEGER) AS width,
+         CAST(4 + (n // 29) % 13 AS INTEGER) AS height
+  FROM m
+), xs AS (
+  SELECT doc_id, span_offset, n, width, height,
+         unnest(range(0, width)) AS x
+  FROM dims
+), px AS (
+  SELECT doc_id, span_offset, n, width, height, x,
+         unnest(range(0, height)) AS y
+  FROM xs
+), rp AS (
+  SELECT doc_id, span_offset, width, height,
+         (x * 4) // width AS bx, (y * 4) // height AS by,
+         (x * 7 + y * 3 + n) % 256 AS r
+  FROM px
+), bsum AS (
+  SELECT doc_id, span_offset, width, height, bx, by,
+         SUM(r) AS bs, COUNT(*) AS bn
+  FROM rp GROUP BY ALL
+), tot AS (
+  SELECT doc_id, span_offset, SUM(r) AS total, COUNT(*) AS npix
+  FROM rp GROUP BY ALL
+), ah AS (
+  SELECT b.doc_id, b.span_offset,
+         CAST(SUM(CASE WHEN b.bs * t.npix > t.total * b.bn
+                       THEN 1 << (b.by * 4 + b.bx) ELSE 0 END) AS BIGINT)
+           AS ahash
+  FROM bsum b JOIN tot t USING (doc_id, span_offset)
+  GROUP BY b.doc_id, b.span_offset
+)
+SELECT ahash, COUNT(*) AS n_imgs, MIN(doc_id) AS min_doc
+FROM ah GROUP BY ahash HAVING COUNT(*) >= 2
+"""
