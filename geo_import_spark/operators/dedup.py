@@ -523,12 +523,16 @@ def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     char offsets, 0-based.
 
     Plan: window explode is map-side (sequence/transform, output =
-    total_chars/k rows); ONE shuffle on window hash builds df and
-    inner-joins the >= 2 set back (never broadcast — the dup set is
-    corpus-sized in the worst case); ONE shuffle on doc_id runs the
+    total_chars/k rows); ONE shuffle on window hash builds df, and the
+    >= 2 set joins back as a plain equi-join — AQE broadcasts it when
+    its measured size fits (the common case: dup hashes are a small
+    fraction) and falls back to shuffle join when it doesn't, so the
+    corpus-sized worst case still runs; ONE shuffle on doc_id runs the
     gaps-and-islands window. Both shuffles are linear in corpus
-    chars/k; no join can fan out (df join is on the full hash and
-    re-keys by slot).
+    chars/k; no join can fan out (the df join key is the full hash,
+    each slot matches at most once). The corpus is scanned twice
+    (histogram + join-back), both scans filter-pushed and
+    column-pruned to (doc_id, text).
     """
     ex = (
         documents.filter(F.length("text") >= k)
