@@ -556,6 +556,20 @@ def _ring_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geomopsmod.ring_perimeter(corpus.polygons(spark, sf_dir))
 
 
+def _geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sphere-corrected polygon area in km²: sinusoidal projection
+    (polynomial cos — bit-exact cross-engine, no libm trig) then a
+    left-associated shoelace fold (operators/geomops.geodesic_area);
+    mirror expands the rectangle ring to the same algebra."""
+    return geomopsmod.geodesic_area(corpus.polygons(spark, sf_dir))
+
+
+def _buffer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster buffer: z=7 tile cover dilated one Chebyshev ring,
+    is_core marking the original cover (operators/tiling.buffer_cells)."""
+    return tiling.buffer_cells(corpus.polygons(spark, sf_dir), z=COVER_Z, k=1)
+
+
 def _layer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8/A4 mega-bbox: per-layer polygon bbox + count aggregate."""
     polys = corpus.polygons(spark, sf_dir)
@@ -1614,6 +1628,22 @@ def _triangle_count(spark, sf_dir):
     )
 
 
+def _local_clustering(spark, sf_dir):
+    """Per-node clustering coefficient: localCheckpoint-pinned edge
+    list, oriented wedge+closure joins, 3-corner credit, one exact
+    integer division per node (operators/graph.local_clustering)."""
+    return graphmod.local_clustering(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _gearys_c(spark, sf_dir):
+    """Global Geary's C of the density grid (rook adjacency over
+    occupied cells) — exact integer num/den, one double at the end."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.gearys_c(geojson.point_spans(docs))
+
+
 def _hausdorff(spark, sf_dir):
     """Directed Hausdorff distance (sampled points → polygon centers)
     on the doubled µdeg lattice — broadcast centers, exact BIGINT."""
@@ -1814,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_counts": _pip_counts,
         "tile_assign": _tile_assign,
         "poly_tile_cover": _poly_tile_cover,
+        "buffer_cells": _buffer_cells,
         "tile_cover_compact": _tile_cover_compact,
         "knn": _knn,
         "radius_join": _radius_join,
@@ -1821,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_lines": _simplify_lines,
         "zonal_stats": _zonal_stats,
         "ring_perimeter": _ring_perimeter,
+        "geodesic_area": _geodesic_area,
         "layer_bbox": _layer_bbox,
         "point_summary": _point_summary,
         "span_kinds": _span_kinds,
@@ -1949,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_conversion": _cohort_conversion,
         "conversion_lag": _conversion_lag,
         "morans_i": _morans_i,
+        "gearys_c": _gearys_c,
         "pair_counts": _pair_counts,
         "hausdorff": _hausdorff,
         "poly_containment": _poly_containment,
@@ -1964,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_edges": _cooccur_edges,
         "degree_histogram": _degree_histogram,
         "triangle_count": _triangle_count,
+        "local_clustering": _local_clustering,
         "qty_price_corr": _qty_price_corr,
         "price_qty_regression": _price_qty_regression,
         "rfm_segments": _rfm_segments,
@@ -2313,6 +2347,21 @@ _SQL_POLY_TILE_COVER = f"""{_SQL_COVER_CTES}
 SELECT poly_id, z, x, y, quadkey FROM cov
 """
 
+_SQL_BUFFER_CELLS = f"""{_SQL_COVER_CTES},
+ex AS (
+  SELECT poly_id, x + dx AS bx, y + dy AS by,
+         CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS core
+  FROM cov
+  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx)
+  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE x + dx >= 0 AND x + dx < {1 << COVER_Z}
+    AND y + dy >= 0 AND y + dy < {1 << COVER_Z}
+)
+SELECT poly_id, CAST({COVER_Z} AS INTEGER) AS z, bx AS x, by AS y,
+       MAX(core) = 1 AS is_core
+FROM ex GROUP BY poly_id, bx, by
+"""
+
 _SQL_TILE_COVER_COMPACT = f"""{_SQL_COVER_CTES},
 cnt AS (
   SELECT poly_id, x // 2 AS px, y // 2 AS py, count(*) AS n
@@ -2414,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_lines": geomopsmod.sql_simplify_ring7(SQL_POLYGONS),
         "zonal_stats": spatialstats.sql_zonal_stats(SQL_POINTS, SQL_POLYGONS),
         "ring_perimeter": geomopsmod.sql_rect_perimeter(SQL_POLYGONS),
+        "geodesic_area": geomopsmod.sql_rect_geodesic_area(SQL_POLYGONS),
         "overlay_area": _SQL_OVERLAY,
         "dissolve_area": _SQL_DISSOLVE_AREA,
         "grid_density": _SQL_GRID_DENSITY,
@@ -2444,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_assign": _SQL_TILES,
         "poly_tile_cover": _SQL_POLY_TILE_COVER,
+        "buffer_cells": _SQL_BUFFER_CELLS,
         "tile_cover_compact": _SQL_TILE_COVER_COMPACT,
         "knn": _SQL_KNN,
         "radius_join": _SQL_RADIUS,
@@ -2680,6 +2731,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "cohort_conversion": funnelmod.SQL_COHORT_CONVERSION,
         "conversion_lag": funnelmod.sql_conversion_lag_quantiles(),
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
+        "gearys_c": spatialstats.sql_gearys_c(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
         "hausdorff": geodist.sql_hausdorff(SQL_POINTS, SQL_POLYGONS),
         "poly_containment": geodist.sql_containment(SQL_POLYGONS),
@@ -2695,6 +2747,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,
         "degree_histogram": graphmod.SQL_DEGREE_HISTOGRAM,
         "triangle_count": graphmod.SQL_TRIANGLE_COUNT,
+        "local_clustering": graphmod.SQL_LOCAL_CLUSTERING,
         "qty_price_corr": statsmod.SQL_QTY_PRICE_CORRELATION,
         "price_qty_regression": statsmod.SQL_PRICE_QTY_REGRESSION,
         "rfm_segments": statsmod.SQL_RFM_SEGMENTS,

@@ -500,3 +500,107 @@ SELECT poly_id, CAST(5 AS BIGINT) AS n_vertices,
        {chain} AS perimeter_deg
 FROM polys
 """
+
+
+# ---------------------------------------------------------------------------
+# Geodesic (sphere-corrected) polygon area
+# ---------------------------------------------------------------------------
+
+# Shared literals: BOTH the Spark expression and the DuckDB mirror are
+# built from these exact double reprs, so every intermediate is the
+# same IEEE value on both engines.
+_DEG2RAD = 0.017453292519943295          # repr(math.pi / 180)
+_HALF_R2_KM2 = 20294876.56483872         # repr(6371.0088**2 / 2) — IUGG mean radius
+# Taylor cosine through x^8 (max |err| ~2.5e-5 at the poles, ~1e-7 at
+# mid-latitudes): polynomials use only correctly-rounded * and +, so —
+# unlike libm cos/sin, whose last-ulp rounding differs across engines —
+# the value is bit-identical in Spark and DuckDB.
+_COS_C2 = -0.5
+_COS_C4 = 0.041666666666666664
+_COS_C6 = -0.001388888888888889
+_COS_C8 = 2.48015873015873e-05
+
+
+def geodesic_area(polygons: DataFrame) -> DataFrame:
+    """Per-polygon area in km² on the sphere: each vertex is projected
+    with the equal-area sinusoidal projection x = λ·cos(φ), y = φ
+    (radians), then the planar shoelace runs over the projected ring —
+    the standard small-polygon spherical-area estimate (exact as the
+    polygon diameter → 0; the corpus layers span a few degrees).
+
+    cos is evaluated as the explicit Taylor polynomial above instead
+    of libm cos: the polynomial is a chain of correctly-rounded IEEE
+    mul/add, so the Spark plan and the DuckDB oracle produce the SAME
+    double — the ring_perimeter discipline extended to a projected
+    metric (libm trig is the one thing those oracles must avoid).
+
+    The fold is F.aggregate LEFT-TO-RIGHT over vertex order — one
+    codegen-native higher-order expression, map-only, no shuffle, no
+    Python. Edges crossing a ring boundary (ring_offsets) contribute
+    0; since every stored ring is closed (last vertex == first), the
+    remaining terms are exactly the sum of per-ring shoelaces, so
+    opposite-orientation holes subtract naturally.
+
+    Output: (poly_id, n_vertices, area_km2) — area_km2 =
+    |Σ x_j·y_{j+1} − x_{j+1}·y_j| · R²/2.
+    """
+    xs, ys, ro = F.col("geom.xs"), F.col("geom.ys"), F.col("geom.ring_offsets")
+    n = F.size(xs)
+    lam = lambda j: F.element_at(xs, j + 1) * F.lit(_DEG2RAD)
+    phi = lambda j: F.element_at(ys, j + 1) * F.lit(_DEG2RAD)
+
+    def cosp(t):
+        tt = t * t
+        return F.lit(1.0) + tt * (
+            F.lit(_COS_C2)
+            + tt * (F.lit(_COS_C4) + tt * (F.lit(_COS_C6) + tt * F.lit(_COS_C8)))
+        )
+
+    x = lambda j: lam(j) * cosp(phi(j))
+    y = phi
+    term = lambda j: F.when(
+        F.array_contains(ro, j + 1), F.lit(0.0)  # ring boundary: no edge
+    ).otherwise(x(j) * y(j + 1) - x(j + 1) * y(j))
+    raw = F.aggregate(
+        F.sequence(F.lit(0), n - 2),
+        F.lit(0.0),
+        lambda acc, j: acc + term(j),
+    )
+    return polygons.select(
+        "poly_id",
+        n.cast("long").alias("n_vertices"),
+        (F.abs(raw) * F.lit(_HALF_R2_KM2)).alias("area_km2"),
+    )
+
+
+def sql_rect_geodesic_area(sql_polygons: str) -> str:
+    """DuckDB mirror for the rectangle corpus: the closed 5-vertex
+    ring [(minx,miny),(maxx,miny),(maxx,maxy),(minx,maxy),(minx,miny)]
+    expanded to the same four left-associated shoelace terms with the
+    same literal constants and the same polynomial-cos algebra, so
+    every intermediate double is identical to geodesic_area's fold."""
+    D, H = repr(_DEG2RAD), repr(_HALF_R2_KM2)
+    c2, c4, c6, c8 = (repr(c) for c in (_COS_C2, _COS_C4, _COS_C6, _COS_C8))
+    ring = [
+        ("minx", "miny"), ("maxx", "miny"), ("maxx", "maxy"),
+        ("minx", "maxy"), ("minx", "miny"),
+    ]
+
+    def xy(k):
+        lon, lat = ring[k]
+        t = f"(({lat}) * {D})"
+        tt = f"({t} * {t})"
+        poly = f"(1.0 + {tt} * ({c2} + {tt} * ({c4} + {tt} * ({c6} + {tt} * {c8}))))"
+        return f"((({lon}) * {D}) * {poly})", t
+
+    chain = "0.0"
+    for j in range(4):
+        xj, yj = xy(j)
+        xj1, yj1 = xy(j + 1)
+        chain = f"({chain} + ({xj} * {yj1} - {xj1} * {yj}))"
+    return f"""
+WITH polys AS ({sql_polygons})
+SELECT poly_id, CAST(5 AS BIGINT) AS n_vertices,
+       abs({chain}) * {H} AS area_km2
+FROM polys
+"""

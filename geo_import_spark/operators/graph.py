@@ -505,3 +505,93 @@ d0 AS (
 {chain}
 SELECT node, dist FROM {prev} WHERE dist IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def local_clustering(lineitem: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of the co-occurrence
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a
+    node's neighbor pairs that are themselves connected (Watts &
+    Strogatz 1998). Nodes with deg < 2 have no neighbor pair and get
+    lcc = 0.0 (the standard convention).
+
+    Output: (node, degree, triangles, lcc), one row per graph node.
+
+    Plan: the node-dimension-sized edge list is lineage-pinned with
+    localCheckpoint (the tile_pyramid pattern — distributed, never a
+    driver collect) so its three consumers (degree agg, wedge join,
+    closure join) share ONE run of the fact-table self-join inside
+    cooccur_edges. Triangles are enumerated once each via
+    the oriented wedge join (a<b<c) and credited to all three corners
+    by a 3-way explode — two dimension-sized equi-joins plus two
+    map-side-combined aggregates, never a cross product. The lcc
+    division is the only double: 2T and d(d−1) are exact BIGINTs on
+    both engines, and a single correctly-rounded IEEE division of the
+    same two integers is bit-identical (same discipline as Moran's I).
+
+    Scale: everything after cooccur_edges is O(edges + triangles);
+    at web scale the wedge fan-out is bounded by orienting low-degree
+    → high-degree (degree ordering) — the plan shape (two equi-joins)
+    is already the one that refinement keeps.
+    """
+    e = cooccur_edges(lineitem).select("src", "dst").localCheckpoint()
+    ends = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.coalesce(F.col("triangles"), F.lit(0)) * 2).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("lcc"),
+    )
+
+
+SQL_LOCAL_CLUSTERING = """
+WITH os AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT a.s AS src, b.s AS dst
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY node),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node)
+SELECT deg.node AS node, degree,
+       COALESCE(triangles, 0) AS triangles,
+       CASE WHEN degree >= 2 THEN
+         CAST(COALESCE(triangles, 0) * 2 AS DOUBLE)
+           / CAST(degree * (degree - 1) AS DOUBLE)
+       ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tc ON deg.node = tc.node
+"""

@@ -115,6 +115,117 @@ def morans_i(points: DataFrame) -> DataFrame:
     )
 
 
+def gearys_c(points: DataFrame) -> DataFrame:
+    """Global Geary's C of the point-density grid under rook
+    adjacency over OCCUPIED cells — the local-contiguity companion to
+    morans_i (C < 1: positive autocorrelation; C > 1: negative).
+
+        C = (N−1)·Σ_adj (n_i−n_j)² / (2W·Σ (n_i−x̄)²)
+
+    Exactness: the numerator needs NO mean (pairwise differences are
+    translation-invariant) so Σ(n_i−n_j)² is an exact integer sum;
+    the denominator reuses Moran's scaled deviations
+    d_i = n_cells·n_i − total, with Σ z_i² = Σ d_i² / n_cells², so
+
+        C = (n_cells−1)·num·n_cells² / (2·w_pairs·den)
+
+    where num = Σ_adj (n_i−n_j)² and den = Σ d_i² are exact
+    DECIMAL(38,0)/HUGEINT on the two engines; the statistic is ONE
+    double division of two exactly-computed integers (both engines
+    convert the same integer to the same nearest double — the
+    morans_i discipline).
+
+    Output (one row): (n_cells, w_pairs, num, den, gearys_c).
+
+    Plan: identical shape to morans_i — one map-side-combined shuffle
+    builds the ≤ 4^level-cell grid, rook adjacency is an exact-(x,y)
+    EQUI-join of 4 exploded neighbor coordinates (never a theta
+    join), two one-row aggregates, one broadcast cross of scalars.
+    """
+    g = _grid_xy(points).groupBy("x", "y").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("total"),
+                F.count(F.lit(1)).alias("n_cells"))
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "x", "y", "n", "n_cells",
+        (F.col("n_cells") * F.col("n") - F.col("total")).alias("di"),
+    )
+    neigh = d.select(
+        "x", "y", "n",
+        F.explode(
+            F.array(
+                F.struct((F.col("x") + 1).alias("nx"), F.col("y").alias("ny")),
+                F.struct((F.col("x") - 1).alias("nx"), F.col("y").alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") + 1).alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") - 1).alias("ny")),
+            )
+        ).alias("nb"),
+    ).select("n", F.col("nb.nx").alias("nx"), F.col("nb.ny").alias("ny"))
+    pairs = neigh.join(
+        d.select(F.col("x").alias("nx"), F.col("y").alias("ny"),
+                 F.col("n").alias("nj")),
+        ["nx", "ny"],
+    )
+    dd = lambda c: F.col(c).cast("decimal(19,0)")
+    diff = dd("n") - dd("nj")
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(
+            F.sum(diff * diff), F.lit(0).cast("decimal(38,0)")
+        ).alias("num_i"),
+    )
+    dstats = d.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.sum(dd("di") * dd("di")).alias("den_i"),
+    )
+    nc = F.col("n_cells").cast("decimal(19,0)")
+    return dstats.crossJoin(F.broadcast(pstats)).select(
+        "n_cells", "w_pairs",
+        F.col("num_i").cast("double").alias("num"),
+        F.col("den_i").cast("double").alias("den"),
+        F.when(
+            (F.col("w_pairs") > 0) & (F.col("den_i") != 0),
+            ((nc - 1) * F.col("num_i") * nc * nc).cast("double")
+            / (F.lit(2).cast("decimal(19,0)")
+               * F.col("w_pairs").cast("decimal(19,0)")
+               * F.col("den_i")).cast("double"),
+        ).alias("gearys_c"),
+    )
+
+
+def sql_gearys_c(sql_points: str) -> str:
+    """DuckDB mirror: same integer lattice, same exact HUGEINT
+    num/den, same single double division."""
+    return f"""
+WITH pts AS ({sql_points}), c AS (
+  SELECT GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS y
+  FROM pts
+),
+g AS (SELECT x, y, count(*) AS n FROM c GROUP BY x, y),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS n_cells FROM g),
+d AS (SELECT x, y, n, n_cells, n_cells * n - total AS di FROM g, tot),
+pairs AS (
+  SELECT a.n AS n, b.n AS nj
+  FROM d a JOIN d b ON abs(a.x - b.x) + abs(a.y - b.y) = 1
+),
+ps AS (SELECT count(*) AS w_pairs,
+              COALESCE(SUM(CAST(a_diff AS HUGEINT) * a_diff),
+                       CAST(0 AS HUGEINT)) AS num_i
+       FROM (SELECT n - nj AS a_diff FROM pairs)),
+ds AS (SELECT MAX(n_cells) AS n_cells,
+              SUM(CAST(di AS HUGEINT) * di) AS den_i FROM d)
+SELECT n_cells, w_pairs,
+       CAST(num_i AS DOUBLE) AS num,
+       CAST(den_i AS DOUBLE) AS den,
+       CASE WHEN w_pairs > 0 AND den_i <> 0 THEN
+         CAST((CAST(n_cells AS HUGEINT) - 1) * num_i
+              * n_cells * n_cells AS DOUBLE)
+           / CAST(CAST(2 AS HUGEINT) * w_pairs * den_i AS DOUBLE)
+       END AS gearys_c
+FROM ds, ps
+"""
+
+
 def sql_morans_i(sql_points: str) -> str:
     """DuckDB mirror over the same pts CTE used by the grid oracle."""
     return f"""

@@ -826,3 +826,59 @@ SELECT x, y, doc_id, rk, n_in_tile FROM (
   FROM cells
 ) WHERE rk <= {int(k)}
 """
+
+
+def buffer_cells(polygons: DataFrame, z: int = 7, k: int = 1) -> DataFrame:
+    """Raster buffer: the polygon's z-level tile cover DILATED by k
+    rings of Chebyshev distance — the cell-lattice form of a polygon
+    buffer (cells within k tiles of the covered region). The discrete
+    twin of a metric ST_Buffer: rendering pads a halo, spatial joins
+    use it as a within-distance prefilter.
+
+    Output: (poly_id, z, x, y, is_core) — one row per buffered tile;
+    is_core marks tiles of the original cover (the k-ring halo is
+    is_core = false). Tiles dilated past the world edge
+    [0, 2^z) × [0, 2^z) are dropped (no x-wraparound: the corpus is
+    clamped away from the antimeridian, and the oracle applies the
+    same range filter).
+
+    Plan: cover_tiles' JVM fan-out, then a (2k+1)²-way explode of
+    literal offsets (map-side) and ONE map-side-combined aggregate on
+    (poly_id, x, y) that both dedups overlapping halos and recovers
+    is_core as max(dx=0 ∧ dy=0) — zero offsets generate exactly the
+    core cells, so membership needs no second join against the cover.
+    Integer-only; bounded by (2k+1)² · |cover|.
+    """
+    n = 1 << z
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+        ]
+    )
+    ex = (
+        cover_tiles(polygons, z=z)
+        .select("poly_id", "x", "y", F.explode(offs).alias("o"))
+        .select(
+            "poly_id",
+            (F.col("x") + F.col("o.dx")).alias("bx"),
+            (F.col("y") + F.col("o.dy")).alias("by"),
+            F.when(
+                (F.col("o.dx") == 0) & (F.col("o.dy") == 0), F.lit(1)
+            ).otherwise(F.lit(0)).alias("core"),
+        )
+        .filter(
+            (F.col("bx") >= 0) & (F.col("bx") < n)
+            & (F.col("by") >= 0) & (F.col("by") < n)
+        )
+    )
+    return ex.groupBy("poly_id", "bx", "by").agg(
+        F.max("core").alias("mc")
+    ).select(
+        "poly_id",
+        F.lit(z).alias("z"),
+        F.col("bx").alias("x"),
+        F.col("by").alias("y"),
+        (F.col("mc") == 1).alias("is_core"),
+    )
