@@ -107,3 +107,48 @@ def test_zonal_stats_single_aggregate_over_broadcast_pip(spark, sf_dir):
     assert p.count("ArrowEvalPython") <= 2  # span parse + ray cast
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
     assert "HashAggregate" in p
+
+
+def test_buffer_cells_single_shuffle_after_cover(spark, sf_dir):
+    # the dilation is an explode of literal offsets + ONE
+    # map-side-combined aggregate; the only Exchange in the whole plan
+    # is that aggregate's (cover_tiles itself is map-only)
+    import re
+    p = _plan(spark, sf_dir, "buffer_cells")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # the corner projection UDF is the single Python stage (count
+    # detail headers — formatted explain mentions each node twice)
+    assert len(re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython", p)) == 1
+
+
+def test_local_clustering_edge_list_computed_once(spark, sf_dir):
+    # the co-occurrence self-join is pinned behind localCheckpoint: the
+    # final plan joins ExistingRDD scans and NEVER re-expands the
+    # lineitem parquet subtree (three consumers, one computation)
+    p = _plan(spark, sf_dir, "local_clustering")
+    assert "parquet" not in p.lower()
+    assert "ExistingRDD" in p
+
+
+def test_gearys_c_shape_matches_morans(spark, sf_dir):
+    # same contract as morans_i: the rook adjacency join must be a
+    # real equi-join (hash/merge), never a cartesian theta join.
+    # (One-row scalar attaches — crossJoin(broadcast(tot/pstats)) —
+    # legitimately plan as BroadcastNestedLoopJoin; morans_i shows the
+    # identical audited shape, so only CartesianProduct is forbidden.)
+    p = _plan(spark, sf_dir, "gearys_c")
+    assert "CartesianProduct" not in p
+    assert (
+        p.count("BroadcastHashJoin")
+        + p.count("SortMergeJoin")
+        + p.count("ShuffledHashJoin")
+        >= 1
+    )
+
+
+def test_geodesic_area_is_map_only_jvm(spark, sf_dir):
+    # one codegen-native higher-order fold: no Exchange, no Python
+    import re
+    p = _plan(spark, sf_dir, "geodesic_area")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "EvalPython" not in p
