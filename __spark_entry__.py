@@ -976,6 +976,12 @@ def _weighted_sssp(spark, sf_dir):
     )
 
 
+def _dup_coverage(spark, sf_dir):
+    """Per-doc duplicated-char fraction over dup_spans runs — the
+    trainprep threshold metric (operators/dedup.dup_coverage)."""
+    return dedupmod.dup_coverage(_docs(spark, sf_dir))
+
+
 def _dup_spans(spark, sf_dir):
     """Exact duplicated-substring spans: maximal runs of 16-char
     windows whose text occurs in >= 2 window slots corpus-wide
@@ -1882,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": _bfs_hops,
         "weighted_sssp": _weighted_sssp,
         "dup_spans": _dup_spans,
+        "dup_coverage": _dup_coverage,
         "media_ahash_groups": _media_ahash_groups,
         "heavy_hitters": _heavy_hitters,
         "frame_diff": _frame_diff,
@@ -2559,6 +2566,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": graphmod.sql_bfs_hops(),
         "weighted_sssp": graphmod.sql_weighted_sssp(),
         "dup_spans": dedupmod.sql_dup_spans(),
+        "dup_coverage": dedupmod.sql_dup_coverage(),
         "media_ahash_groups": multimodal.sql_media_ahash_groups(
             """
             SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,

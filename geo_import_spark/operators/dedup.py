@@ -596,3 +596,60 @@ SELECT doc_id, CAST(MIN(i) * {k} AS BIGINT) AS start_off,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM g GROUP BY doc_id, grp
 """
+
+
+def dup_coverage(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Per-document duplicated-character fraction — the number a
+    training-data pipeline actually thresholds on ("drop docs > 80%
+    duplicated"): total chars inside dup_spans runs over text length.
+
+    Documents with no duplicated window (including docs shorter than
+    one window) appear with dup_chars = 0 and dup_frac = 0.0, so the
+    output is a total function of the corpus — a filter can anti-join
+    nothing.
+
+    Output: (doc_id, text_len, dup_chars, dup_frac); dup_frac is ONE
+    correctly-rounded division of two exact BIGINTs (bit-identical
+    across engines), 0.0 for empty text.
+
+    Plan: dup_spans' two linear shuffles, then a per-doc sum that
+    REUSES the gaps-and-islands doc_id partitioning (no extra
+    Exchange), and one doc-keyed left join against the column-pruned
+    (doc_id, length) scan.
+    """
+    spans = dup_spans(documents, k=k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("end_off") - F.col("start_off")).alias("dup_chars")
+    )
+    lens = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    return lens.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "text_len",
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+        F.when(
+            F.col("text_len") > 0,
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+            / F.col("text_len").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
+def sql_dup_coverage(k: int = DUP_SPAN_K) -> str:
+    return f"""
+WITH spans AS ({sql_dup_spans(k)}),
+per_doc AS (
+  SELECT doc_id, SUM(end_off - start_off) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(length(d.text) AS BIGINT) AS text_len,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CASE WHEN length(d.text) > 0 THEN
+         CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+           / CAST(length(d.text) AS DOUBLE)
+       ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

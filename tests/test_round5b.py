@@ -245,3 +245,54 @@ def test_buffer_cells_clamped_at_world_edge(spark):
     xs = {(r["x"], r["y"]) for r in out}
     assert all(x >= 0 and y >= 0 for x, y in xs)
     assert len(out) in (4, 6)  # corner (y=0) -> 4; one row down -> 6
+
+
+# --- dup coverage ------------------------------------------------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_dup_coverage_planted(spark):
+    from geo_import_spark.operators import dedup as dedupmod
+
+    blk = "A" * 16  # one duplicated window, shared by docs 0 and 1
+    docs = _docs_df(
+        spark,
+        [
+            blk + "x" * 16,   # 32 chars, 16 duplicated -> 0.5
+            "y" * 16 + blk,   # 32 chars, 16 duplicated -> 0.5
+            # all-distinct chars: no window repeats anywhere ("z"*32
+            # would NOT do — its own two windows duplicate each other)
+            "abcdefghijklmnopqrstuvwxyz012345",
+            "short",          # < one window -> 0 windows, 0.0
+            "",               # empty text -> guard, 0.0 not NaN
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["text_len"], r["dup_chars"], r["dup_frac"])
+        for r in dedupmod.dup_coverage(docs, k=16).collect()
+    }
+    assert got[0] == (32, 16, 0.5)
+    assert got[1] == (32, 16, 0.5)
+    assert got[2] == (32, 0, 0.0)
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    assert len(got) == 5  # total function of the corpus
+
+
+def test_dup_coverage_full_dup_doc(spark):
+    from geo_import_spark.operators import dedup as dedupmod
+
+    # doc 0 repeats one window 4x (within-doc dup); every window
+    # duplicated -> frac 1.0
+    docs = _docs_df(spark, ["B" * 64, "unrelated text here....."])
+    got = {
+        r["doc_id"]: r["dup_frac"]
+        for r in dedupmod.dup_coverage(docs, k=16).collect()
+    }
+    assert got[0] == 1.0
+    assert got[1] == 0.0
