@@ -1208,6 +1208,20 @@ def _ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
 
 
+def _pq_codes(spark, sf_dir):
+    """Product-quantization codes: map-only literal-codebook argmin
+    per subspace (operators/similarity.pq_codes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_codes(emb)
+
+
+def _pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k: code-compressed corpus scanned
+    once, explicit s-ordered distance chain (similarity.pq_adc_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_adc_topk(emb, n_queries=ANN_QUERIES, k=ANN_K)
+
+
 def _media_features(spark, sf_dir):
     """Multimodal media features via mapInPandas Arrow streaming (typed metadata; codec stub isolated)."""
     docs = corpus.documents(spark, sf_dir)
@@ -1933,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _ann_buckets,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "pq_codes": _pq_codes,
+        "pq_adc_topk": _pq_adc_topk,
         "embedding_near_dups": _embed_near_dups,
         "embed_dup_clusters": _embed_dup_clusters,
         "kmeans_embed": _kmeans_embed,
@@ -2634,6 +2650,10 @@ def oracle_sql() -> dict[str, str]:
             k=ANN_K,
             n_cells=similarity.IVF_CELLS,
             nprobe=similarity.IVF_NPROBE,
+        ),
+        "pq_codes": similarity.SQL_PQ_CODES,
+        "pq_adc_topk": similarity.SQL_PQ_ADC_TOPK.format(
+            n_queries=ANN_QUERIES, k=ANN_K
         ),
         "embedding_near_dups": similarity.SQL_EMBED_NEAR_DUPS.format(
             threshold=EMBED_DUP_THRESHOLD

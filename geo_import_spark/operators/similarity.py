@@ -888,3 +888,195 @@ SELECT q.vec_id, CAST(q.pos - 1 AS INT) AS pos,
        (CAST(q.v AS DOUBLE) - m.mean) / m.sd AS z
 FROM q JOIN m ON q.pos = m.pos
 """
+
+
+# --- product quantization (PQ codes + asymmetric-distance top-k) ---------------
+
+PQ_M = 4          # subspaces
+PQ_KC = 4         # centroids per subspace codebook
+PQ_D = DIM // PQ_M  # dims per subspace
+
+
+def _pq_codebooks(embeddings: DataFrame, kc: int = PQ_KC) -> list[list[float]]:
+    """Deterministic codebooks: the first kc vectors (vec_id < kc),
+    sliced per subspace — the IVF trick that lets the DuckDB oracle
+    derive the IDENTICAL centroids from the same table (production
+    swaps in per-subspace kmeans; the plan shape is unchanged —
+    codebooks are always m·kc·d driver state, never data-sized)."""
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    return [
+        r["v"]
+        for r in e.filter(F.col("vec_id") < kc).orderBy("vec_id").collect()
+    ]
+
+
+def _pq_dsq_lit(v, s: int, cen: list[float]):
+    """Σ_{i in subspace s} (v[i] − cen[i])², as an explicit 0.0-seeded
+    left-associated chain of correctly-rounded IEEE ops — the same
+    fold order DuckDB's list_sum uses, so the double is bit-identical
+    (the _dot discipline with a literal second operand)."""
+    chain = F.lit(0.0)
+    for off in range(PQ_D):
+        i = s * PQ_D + off + 1  # 1-based element_at index
+        t = F.element_at(v, i) - F.lit(cen[i - 1])
+        chain = chain + t * t
+    return chain
+
+
+def _pq_code_col(v, s: int, cens: list[list[float]]):
+    """1-based code = first-minimum position (exact-tie → smallest
+    centroid id, matching the oracle's ORDER BY d ASC, cid ASC)."""
+    scores = F.array(*[_pq_dsq_lit(v, s, cen) for cen in cens])
+    return F.array_position(scores, F.array_min(scores)).cast("int")
+
+
+def pq_codes(embeddings: DataFrame, kc: int = PQ_KC) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): each vector is
+    compressed to m subspace codes — the memory format that lets a
+    100-TB ANN corpus live in RAM (m·log2(kc) bits per vector instead
+    of 4·DIM bytes).
+
+    Output: (vec_id, c1..c4), 1-based codebook indices per subspace.
+
+    Plan: map-only JVM literal-array folds against the m×kc×d literal
+    codebooks — the corpus never shuffles and nothing touches Python
+    (the kmeans_embed assignment pattern, per subspace).
+    """
+    cens = _pq_codebooks(embeddings, kc)
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    return e.select(
+        "vec_id",
+        *[
+            _pq_code_col(F.col("v"), s, cens).alias(f"c{s + 1}")
+            for s in range(PQ_M)
+        ],
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    kc: int = PQ_KC,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query stays exact, every
+    corpus vector is represented ONLY by its codes, and the scan cost
+    per candidate is m codebook lookups — the IVF-PQ inner loop.
+
+    approx_dist(q, x) = Σ_s ‖q_s − codebook_s[code_s(x)]‖², realized
+    as an explicit s-ordered 0.0-seeded chain of per-subspace CASE
+    selections over the literal codebooks (a GROUP-BY sum over
+    subspace rows would add the 4 doubles in nondeterministic order
+    and break the cross-engine hash; the chain fixes the order).
+
+    Output: (query_id, vec_id, rank) — rank by (adc ASC, vec_id ASC).
+    Recall vs the exact scan is approximate by construction (tested).
+
+    Plan: codes and the per-query distance are all JVM expressions;
+    queries broadcast into one stage against the code-compressed
+    corpus — the corpus is scanned ONCE, shuffles only for the final
+    per-query top-k window on n_queries partitions.
+    """
+    cens = _pq_codebooks(embeddings, kc)
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    codes = e.select(
+        "vec_id",
+        *[
+            _pq_code_col(F.col("v"), s, cens).alias(f"c{s + 1}")
+            for s in range(PQ_M)
+        ],
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def _term(s: int):
+        col = F.col(f"c{s + 1}")
+        expr = None
+        for j, cen in enumerate(cens):
+            d = _pq_dsq_lit(F.col("qv"), s, cen)
+            expr = F.when(col == j + 1, d) if expr is None else expr.when(col == j + 1, d)
+        return expr
+
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        adc = adc + _term(s)
+    w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        codes.join(F.broadcast(q))
+        .withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+_PQ_DSQ_SQL = (
+    f"list_sum(list_transform(range(s * {PQ_D} + 1, s * {PQ_D} + {PQ_D + 1}), "
+    f"i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+)
+
+
+def _pq_codes_ctes(kc: int = PQ_KC) -> str:
+    return f"""
+e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+cen AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < {kc}),
+sc AS (
+  SELECT e.vec_id, ss.s, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, ss.s
+           ORDER BY {_PQ_DSQ_SQL} ASC, c.cid ASC
+         ) AS rn
+  FROM e
+  CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) ss
+  CROSS JOIN cen c
+),
+codes AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 0 THEN cid END) AS c1,
+         MAX(CASE WHEN s = 1 THEN cid END) AS c2,
+         MAX(CASE WHEN s = 2 THEN cid END) AS c3,
+         MAX(CASE WHEN s = 3 THEN cid END) AS c4
+  FROM sc WHERE rn = 1 GROUP BY vec_id
+)"""
+
+
+SQL_PQ_CODES = f"""
+WITH {_pq_codes_ctes()}
+SELECT vec_id, CAST(c1 AS INTEGER) AS c1, CAST(c2 AS INTEGER) AS c2,
+       CAST(c3 AS INTEGER) AS c3, CAST(c4 AS INTEGER) AS c4
+FROM codes
+"""
+
+
+def _sql_pq_qdsq(s: int, cenref: str) -> str:
+    """Query-side subspace distance with a FIXED s (the literal fold
+    bounds match _pq_dsq_lit's chain for subspace s)."""
+    lo, hi = s * PQ_D + 1, s * PQ_D + PQ_D + 1
+    return (
+        f"list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> (qv[i] - {cenref}[i]) * (qv[i] - {cenref}[i])))"
+    )
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_pq_codes_ctes()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {{n_queries}}),
+adc AS (
+  SELECT q.query_id, x.vec_id,
+         ((((0.0 + {_sql_pq_qdsq(0, 'k1.cv')}) + {_sql_pq_qdsq(1, 'k2.cv')})
+            + {_sql_pq_qdsq(2, 'k3.cv')}) + {_sql_pq_qdsq(3, 'k4.cv')}) AS adc
+  FROM codes x
+  JOIN cen k1 ON k1.cid = x.c1
+  JOIN cen k2 ON k2.cid = x.c2
+  JOIN cen k3 ON k3.cid = x.c3
+  JOIN cen k4 ON k4.cid = x.c4
+  CROSS JOIN q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {{k}}
+"""

@@ -296,3 +296,87 @@ def test_dup_coverage_full_dup_doc(spark):
     }
     assert got[0] == 1.0
     assert got[1] == 0.0
+
+
+# --- product quantization ------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _pq_corpus():
+    """4 orthogonal-ish anchors (the codebooks: vec_id 0-3) + noisy
+    copies clustered around each anchor."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # anchors distinct in EVERY subspace (anchor j = all-10j): a
+    # per-subspace-one-hot design would leave zero-slices tied across
+    # codebooks and the first-min tie-break would pick code 1
+    anchors = np.stack([np.full(64, 10.0 * j) for j in range(4)])
+    vecs = [anchors[j] for j in range(4)]
+    owner = []
+    for i in range(24):
+        j = i % 4
+        owner.append(j)
+        vecs.append(anchors[j] + rng.uniform(-0.5, 0.5, 64))
+    return vecs, owner
+
+
+def test_pq_codes_codebook_vectors_self_code(spark):
+    from geo_import_spark.operators import similarity
+
+    vecs, _ = _pq_corpus()
+    got = {
+        r["vec_id"]: (r["c1"], r["c2"], r["c3"], r["c4"])
+        for r in similarity.pq_codes(_emb_df(spark, vecs)).collect()
+    }
+    # each codebook vector is distance-0 from itself in every subspace
+    for j in range(4):
+        assert got[j] == (j + 1, j + 1, j + 1, j + 1)
+    assert len(got) == len(vecs)
+
+
+def test_pq_codes_cluster_members_share_owner_code(spark):
+    from geo_import_spark.operators import similarity
+
+    vecs, owner = _pq_corpus()
+    got = {
+        r["vec_id"]: (r["c1"], r["c2"], r["c3"], r["c4"])
+        for r in similarity.pq_codes(_emb_df(spark, vecs)).collect()
+    }
+    # a noisy copy of anchor j is nearest codebook j in every subspace
+    for i, j in enumerate(owner):
+        assert got[4 + i] == (j + 1, j + 1, j + 1, j + 1)
+
+
+def test_pq_adc_self_is_rank_one_for_codebook_queries(spark):
+    from geo_import_spark.operators import similarity
+
+    vecs, _ = _pq_corpus()
+    out = similarity.pq_adc_topk(_emb_df(spark, vecs), n_queries=4, k=5)
+    top = {
+        r["query_id"]: r["vec_id"] for r in out.collect() if r["rank"] == 1
+    }
+    # a codebook vector reconstructs exactly: ADC(q, q) = 0 => rank 1
+    for j in range(4):
+        assert top[j] == j
+
+
+def test_pq_adc_retrieves_own_cluster(spark):
+    from geo_import_spark.operators import similarity
+
+    vecs, owner = _pq_corpus()
+    out = similarity.pq_adc_topk(_emb_df(spark, vecs), n_queries=4, k=7)
+    mates = {j: {j} | {4 + i for i, o in enumerate(owner) if o == j}
+             for j in range(4)}
+    rows = [r for r in out.collect()]
+    assert len(rows) == 4 * 7
+    for r in rows:
+        # every retrieved vector belongs to the query's own cluster
+        # (clusters are separated by >> intra-cluster noise)
+        assert r["vec_id"] in mates[r["query_id"]]
