@@ -139,6 +139,51 @@ def _sql_od_matrix() -> str:
     )
 
 
+def _sql_line_interpolate() -> str:
+    from geo_import_spark.operators import lineref, trajectory
+
+    return lineref.sql_line_interpolate(trajectory.SQL_WALK_POINTS)
+
+
+def _sql_od_bearing() -> str:
+    from geo_import_spark.operators import lineref, trajectory
+
+    return lineref.sql_od_bearing(
+        trajectory.sql_staypoints(trajectory.SQL_WALK_POINTS)
+    )
+
+
+def _sql_cluster_hulls() -> str:
+    """Composition mirror: grid_dbscan's clustered cells feed the
+    non-recursive hull-edge oracle (geomops.sql_convex_hull) on the
+    1e6-scaled cell lattice — hull edges = hull vertices for n >= 2,
+    and singleton-cell clusters (one core cell, no core neighbors),
+    which the edge mirror cannot see (edges need a <> b), re-enter
+    via the cell-count LEFT JOIN as (n_hull=1, area2_u=0), exactly
+    what the Spark fold emits for them."""
+    from geo_import_spark.operators import dbscan, geomops
+
+    clustered = f"""
+SELECT cluster_id AS a_string,
+       CAST(x AS DOUBLE) AS lon,
+       CAST(y AS DOUBLE) AS lat
+FROM ({dbscan.sql_grid_dbscan(SQL_POINTS)})
+WHERE cluster_id IS NOT NULL
+"""
+    return f"""
+WITH hulls AS ({geomops.sql_convex_hull(clustered)}),
+cellct AS (
+  SELECT a_string AS cluster_id, COUNT(*) AS n_cells
+  FROM ({clustered})
+  GROUP BY a_string
+)
+SELECT c.cluster_id,
+       COALESCE(h.n_hull, CAST(1 AS BIGINT)) AS n_hull,
+       COALESCE(h.area2_u, CAST(0 AS BIGINT)) AS area2_u
+FROM cellct c LEFT JOIN hulls h ON h.layer_id = c.cluster_id
+"""
+
+
 def _sql_frame_diff() -> str:
     from geo_import_spark.operators.reconcile import sql_frame_diff
 
@@ -1824,6 +1869,84 @@ def _reproject_lcc(spark, sf_dir):
     )
 
 
+def _line_interpolate(spark, sf_dir):
+    """Linear referencing: the exact point at 1/4, 1/2, 3/4 of each
+    walk track's path length (L-inf metric, exact int64 cumulative
+    window + one-double-expression lerp — operators/lineref.py)."""
+    from geo_import_spark.operators import lineref, trajectory
+
+    return lineref.line_interpolate(trajectory.walk_points(spark, sf_dir))
+
+
+def _od_bearing(spark, sf_dir):
+    """Compass histogram of inter-staypoint trips: exact integer
+    octant classification (no atan2 — sign/magnitude CASE shared
+    verbatim with the mirror), one lead window on the staypoints'
+    own cust partitioning + one 8-row groupBy."""
+    from geo_import_spark.operators import lineref, trajectory
+
+    return lineref.od_bearing(
+        trajectory.staypoints(trajectory.walk_points(spark, sf_dir))
+    )
+
+
+def _hard_negatives(spark, sf_dir):
+    """Hard-negative mining: per query the k most similar vectors
+    that are NOT positives (self + cos >= 0.999 near-dups excluded),
+    ranked by cosine desc — the contrastive-training sampler on the
+    cosine_topk plan (broadcast queries, JVM fold dot products)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.hard_negatives(emb, n_queries=ANN_QUERIES)
+
+
+def _vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary coverage: top-16 corpus tokens as the
+    vocab (TakeOrderedAndProject cut, not a global window), per-source
+    OOV occurrence counts + exact basis points, one token-sized
+    shuffle (operators/textops.vocab_coverage)."""
+    return textops.vocab_coverage(_docs(spark, sf_dir))
+
+
+def _cluster_hulls(spark, sf_dir):
+    """Convex hull per DBSCAN cluster: grid_dbscan labels composed
+    with the two-level mergeable hull aggregate — per-cluster vertex
+    count and exact hull area (µdeg² on the 1e6-scaled cell lattice).
+    Demonstrates operator composition: the hull consumes the
+    cluster frame exactly as it consumes raw point layers."""
+    from geo_import_spark.operators import dbscan, geomops
+
+    cells = (
+        dbscan.grid_dbscan(corpus.points(spark, sf_dir))
+        .filter(F.col("cluster_id").isNotNull())
+        .select(
+            F.col("cluster_id").alias("layer_id"),
+            F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("double").alias("lon"),
+            F.floor(F.col("y") * 1000000.0 + F.lit(0.5)).cast("double").alias("lat"),
+        )
+    )
+    h = geomops.convex_hull(cells).select(
+        "layer_id",
+        F.col("n_hull").cast("long").alias("n_hull"),
+        F.transform("hull_xs", lambda v: v.cast("long")).alias("xi"),
+        F.transform("hull_ys", lambda v: v.cast("long")).alias("yi"),
+    )
+    n = F.size("xi")
+    area2 = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(F.col("xi"), j + 1)
+        * F.element_at(F.col("yi"), (j + 1) % n + 1)
+        - F.element_at(F.col("xi"), (j + 1) % n + 1)
+        * F.element_at(F.col("yi"), j + 1),
+    )
+    return h.select(
+        F.col("layer_id").alias("cluster_id"),
+        "n_hull",
+        F.abs(area2).alias("area2_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -2029,6 +2152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_norm": _layer_norm,
         "reproject_3857": _reproject_3857,
         "reproject_lcc": _reproject_lcc,
+        "line_interpolate": _line_interpolate,
+        "od_bearing": _od_bearing,
+        "hard_negatives": _hard_negatives,
+        "vocab_coverage": _vocab_coverage,
+        "cluster_hulls": _cluster_hulls,
     }
 
 
@@ -2784,4 +2912,11 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "layer_norm": corpus.SQL_LAYER_NORM,
         "reproject_3857": corpus.SQL_REPROJECT_3857,
         "reproject_lcc": corpus.SQL_REPROJECT_LCC,
+        "line_interpolate": _sql_line_interpolate(),
+        "od_bearing": _sql_od_bearing(),
+        "hard_negatives": similarity.SQL_HARD_NEGATIVES.format(
+            n_queries=ANN_QUERIES, k=similarity.HARD_K, hi=similarity.HARD_HI
+        ),
+        "vocab_coverage": textops.sql_vocab_coverage(),
+        "cluster_hulls": _sql_cluster_hulls(),
     }

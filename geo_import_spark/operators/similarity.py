@@ -1080,3 +1080,74 @@ SELECT query_id, vec_id, rank FROM (
   FROM adc
 ) WHERE rank <= {{k}}
 """
+
+
+HARD_HI = 0.999       # near-dup exclusion band: cos >= HARD_HI is a positive
+HARD_K = 5
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = HARD_K,
+    hi: float = HARD_HI,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    k MOST similar vectors that are NOT positives — the query itself
+    and near-duplicates (cos >= hi) are excluded, then the remainder
+    ranks by cosine descending. The standard retrieval-training
+    sampler (e.g. DPR/Contriever-style): negatives close enough to be
+    informative, far enough to be true negatives.
+
+    Plan: identical to cosine_topk (broadcast query side, JVM
+    zip_with/aggregate dot products, one row_number window) with the
+    positive-exclusion predicate fused BEFORE the rank — Catalyst
+    pushes it into the same projected stage, so exclusion is free. At
+    production scale the brute-force candidate pass swaps for the
+    lsh_topk/ivf_topk candidate generators (same exclusion + re-rank
+    stage); a cluster-exclusion variant (drop candidates sharing the
+    query's kmeans cell) composes by one extra broadcast join on the
+    same plan.
+
+    The cos-vs-hi comparison is safe for hash parity: both engines
+    evaluate the SAME expression tree over the same doubles, so the
+    verdict is bit-identical (the discipline the ANN family already
+    relies on for its rank ordering).
+
+    Output: (query_id, vec_id, rank) — rank 1 is the hardest negative.
+    """
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") < F.lit(float(hi)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {{n_queries}}),
+cand AS (
+  SELECT q.query_id, e.vec_id, {_SQL_COS} AS cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM cand WHERE cos < {{hi}}
+) WHERE rank <= {{k}}
+"""

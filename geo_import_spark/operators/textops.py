@@ -467,3 +467,92 @@ SELECT term, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS frac
 FROM c CROSS JOIN tot
 WHERE CAST(cnt AS DOUBLE) > {HH_PHI} * CAST(n AS DOUBLE)
 """
+
+
+VOCAB_V = 16
+
+
+def vocab_coverage(documents: DataFrame, v: int = VOCAB_V) -> DataFrame:
+    """Tokenizer vocabulary coverage / OOV rate per corpus source: the
+    vocabulary is the top-`v` tokens by corpus frequency (count DESC,
+    token ASC — a total order, so the cut is deterministic), and each
+    source reports how many of its token OCCURRENCES fall outside it.
+    The default v=16 sits inside the synthetic corpus' 31-token
+    whitespace vocabulary so the OOV tail is non-degenerate at every
+    SF (v=100 would cover everything and pin oov_bp to 0).
+    The training-data health check run before committing to a
+    tokenizer: a source with a high OOV rate will fragment into
+    byte-fallback tokens.
+
+    Plan (one pass over documents): tokens aggregate ONCE into
+    per-(source, token) counts — the only point-sized shuffle, with
+    map-side combine; the vocabulary reduces that already-small frame
+    by token and cuts with orderBy().limit(v), which Spark plans as
+    TakeOrderedAndProject — a distributed per-partition top-v merged
+    on the driver, NOT a single-partition global window; coverage is
+    a broadcast-sized left join of the counts frame against the
+    vocabulary followed by a map-side-combining groupBy onto
+    |sources| rows. oov_bp is exact integer basis points — both
+    operands non-negative, so Spark's DIV and DuckDB's // agree.
+
+    Output: (source, total_tokens, oov_tokens, oov_bp).
+    """
+    counts = (
+        documents.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy("token").agg(F.sum("cnt").alias("tcnt"))
+    vocab = (
+        tot.orderBy(F.col("tcnt").desc(), F.col("token").asc())
+        .limit(int(v))
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    j = counts.join(F.broadcast(vocab), "token", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            F.expr("CAST((oov_tokens * 10000) DIV total_tokens AS BIGINT)")
+            .alias("oov_bp"),
+        )
+    )
+
+
+def sql_vocab_coverage(v: int = VOCAB_V) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT source, token, count(*) AS cnt FROM toks GROUP BY source, token
+),
+tot AS (SELECT token, SUM(cnt) AS tcnt FROM counts GROUP BY token),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY tcnt DESC, token ASC) AS rk
+    FROM tot
+  ) WHERE rk <= {int(v)}
+),
+agg AS (
+  SELECT c.source,
+         SUM(c.cnt) AS total_tokens,
+         SUM(CASE WHEN vb.token IS NULL THEN c.cnt ELSE 0 END) AS oov_tokens
+  FROM counts c LEFT JOIN vocab vb ON vb.token = c.token
+  GROUP BY c.source
+)
+SELECT source,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(oov_tokens AS BIGINT) AS oov_tokens,
+       CAST((oov_tokens * 10000) // total_tokens AS BIGINT) AS oov_bp
+FROM agg
+"""
