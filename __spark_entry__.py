@@ -184,6 +184,12 @@ FROM cellct c LEFT JOIN hulls h ON h.layer_id = c.cluster_id
 """
 
 
+def _sql_frechet_dtw() -> str:
+    from geo_import_spark.operators import trajectory, trajsim
+
+    return trajsim.sql_track_distances(trajectory.SQL_WALK_POINTS)
+
+
 def _sql_frame_diff() -> str:
     from geo_import_spark.operators.reconcile import sql_frame_diff
 
@@ -1947,6 +1953,16 @@ def _cluster_hulls(spark, sf_dir):
     )
 
 
+def _frechet_dtw(spark, sf_dir):
+    """Discrete Fréchet distance + DTW cost per consecutive-cust track
+    pair: exact int64 Chebyshev DP inside ONE mapInPandas over the
+    assembled pair frame (operators/trajsim.py); the mirror runs the
+    same recurrences as a recursive CTE over anti-diagonal levels."""
+    from geo_import_spark.operators import trajectory, trajsim
+
+    return trajsim.track_distances(trajectory.walk_points(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -2157,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,
         "vocab_coverage": _vocab_coverage,
         "cluster_hulls": _cluster_hulls,
+        "frechet_dtw": _frechet_dtw,
     }
 
 
@@ -2919,4 +2936,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         ),
         "vocab_coverage": textops.sql_vocab_coverage(),
         "cluster_hulls": _sql_cluster_hulls(),
+        "frechet_dtw": _sql_frechet_dtw(),
     }
