@@ -190,6 +190,12 @@ def _sql_frechet_dtw() -> str:
     return trajsim.sql_track_distances(trajectory.SQL_WALK_POINTS)
 
 
+def _sql_hausdorff() -> str:
+    from geo_import_spark.operators import trajectory, trajsim
+
+    return trajsim.sql_hausdorff(trajectory.SQL_WALK_POINTS)
+
+
 def _sql_frame_diff() -> str:
     from geo_import_spark.operators.reconcile import sql_frame_diff
 
@@ -1963,6 +1969,17 @@ def _frechet_dtw(spark, sf_dir):
     return trajsim.track_distances(trajectory.walk_points(spark, sf_dir))
 
 
+def _hausdorff(spark, sf_dir):
+    """Directed + symmetric Hausdorff distance per consecutive-cust
+    track pair — exact int64 Chebyshev max-of-min, computed ENTIRELY
+    in Catalyst expressions (nested zip_with/array_min/array_max,
+    whole-stage codegen, zero Python workers); the mirror is the same
+    max-of-min over list_transform, no recursion."""
+    from geo_import_spark.operators import trajectory, trajsim
+
+    return trajsim.hausdorff(trajectory.walk_points(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -2174,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "cluster_hulls": _cluster_hulls,
         "frechet_dtw": _frechet_dtw,
+        "hausdorff": _hausdorff,
     }
 
 
@@ -2937,4 +2955,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "vocab_coverage": textops.sql_vocab_coverage(),
         "cluster_hulls": _sql_cluster_hulls(),
         "frechet_dtw": _sql_frechet_dtw(),
+        "hausdorff": _sql_hausdorff(),
     }

@@ -161,6 +161,88 @@ def track_distances(walk: DataFrame, max_n: int = MAX_TRACK_N) -> DataFrame:
     return _pair_frame(walk, max_n=max_n).mapInPandas(dp, _SCHEMA)
 
 
+def hausdorff(walk: DataFrame, max_n: int = MAX_TRACK_N) -> DataFrame:
+    """Directed + symmetric Hausdorff distance per consecutive-cust
+    track pair: (ca, cb, h_ab_u, h_ba_u, hausdorff_u), exact int64
+    µdeg Chebyshev.
+
+    Unlike the Fréchet/DTW DPs, Hausdorff has no sequential dependency
+    (max over a of min over b), so it stays ENTIRELY in Catalyst
+    expressions — nested zip_with/array_min/array_max, whole-stage
+    codegen, zero Python workers. Same pair frame, same guard.
+
+    Scale note: O(n*m) work per pair like the DPs, but as a JVM
+    expression over the bounded arrays — the cheapest of the three
+    curve distances and the first one to try as a blocking-stage
+    prefilter (Hausdorff lower-bounds discrete Fréchet, so pairs can
+    be pruned by h before paying the DP).
+    """
+
+    def directed(axs, ays, bxs, bys):
+        return F.array_max(
+            F.zip_with(
+                axs,
+                ays,
+                lambda ax, ay: F.array_min(
+                    F.zip_with(
+                        bxs,
+                        bys,
+                        lambda bx, by: F.greatest(
+                            F.abs(ax - bx), F.abs(ay - by)
+                        ),
+                    )
+                ),
+            )
+        )
+
+    pf = _pair_frame(walk, max_n=max_n)
+    h_ab = directed(F.col("axs"), F.col("ays"), F.col("bxs"), F.col("bys"))
+    h_ba = directed(F.col("bxs"), F.col("bys"), F.col("axs"), F.col("ays"))
+    return pf.select(
+        "ca",
+        "cb",
+        h_ab.alias("h_ab_u"),
+        h_ba.alias("h_ba_u"),
+        F.greatest(h_ab, h_ba).alias("hausdorff_u"),
+    )
+
+
+def sql_hausdorff(sql_walk: str, max_n: int = MAX_TRACK_N) -> str:
+    """Mirror: same max-of-min over list_transform — no recursion
+    needed (contrast sql_track_distances)."""
+
+    def directed_idx(a: str, b: str) -> str:
+        return (
+            f"list_max(list_transform(range(1, len({a}xs) + 1), ii -> "
+            f"list_min(list_transform(range(1, len({b}xs) + 1), jj -> "
+            f"GREATEST(ABS({a}xs[ii] - {b}xs[jj]),"
+            f" ABS({a}ys[ii] - {b}ys[jj]))))))"
+        )
+
+    h_ab = directed_idx("a", "b")
+    h_ba = directed_idx("b", "a")
+    return f"""
+WITH walk AS ({sql_walk}),
+tr AS (
+  SELECT cust,
+         list(x ORDER BY i) AS xs,
+         list(y ORDER BY i) AS ys
+  FROM walk GROUP BY cust
+  HAVING COUNT(*) <= {int(max_n)}
+),
+pr AS (
+  SELECT a.cust AS ca, b.cust AS cb,
+         a.xs AS axs, a.ys AS ays, b.xs AS bxs, b.ys AS bys
+  FROM tr a JOIN tr b ON b.cust = a.cust + 1
+)
+SELECT ca, cb,
+       {h_ab} AS h_ab_u,
+       {h_ba} AS h_ba_u,
+       GREATEST({h_ab}, {h_ba}) AS hausdorff_u
+FROM pr
+"""
+
+
 def sql_track_distances(sql_walk: str, max_n: int = MAX_TRACK_N) -> str:
     """Recursive-CTE mirror of BOTH DPs over anti-diagonal levels.
 

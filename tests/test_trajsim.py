@@ -84,6 +84,65 @@ def test_non_consecutive_custs_not_paired(spark):
     assert trajsim.track_distances(walk).count() == 0
 
 
+def test_hausdorff_identical_zero(spark):
+    pts = [(0, 0, 0), (1, 10, 0), (2, 10, 10)]
+    walk = _walk(
+        spark, [(c, i, x, y) for c in (1, 2) for i, x, y in pts]
+    )
+    r = _one(trajsim.hausdorff(walk))
+    assert (r["h_ab_u"], r["h_ba_u"], r["hausdorff_u"]) == (0, 0, 0)
+
+
+def test_hausdorff_asymmetric_directed(spark):
+    # A = [(0,0)], B = [(0,0), (10,0)]: every A point has a B point at
+    # distance 0 -> h(A,B)=0, but B's far point is 10 from all of A ->
+    # h(B,A)=10; symmetric = 10. Fréchet on the same pair is also 10,
+    # DTW 0+10 — Hausdorff = Fréchet here, and both bound from below.
+    walk = _walk(spark, [(1, 0, 0, 0), (2, 0, 0, 0), (2, 1, 10, 0)])
+    r = _one(trajsim.hausdorff(walk))
+    assert (r["h_ab_u"], r["h_ba_u"], r["hausdorff_u"]) == (0, 10, 10)
+
+
+def test_hausdorff_ignores_order(spark):
+    # Hausdorff is a SET distance: reversing B changes Fréchet but not
+    # Hausdorff. A straight, B reversed-straight with offset 2.
+    a = [(0, 0), (10, 0), (20, 0)]
+    b = [(20, 2), (10, 2), (0, 2)]
+    walk = _walk(
+        spark,
+        [(1, i, x, y) for i, (x, y) in enumerate(a)]
+        + [(2, i, x, y) for i, (x, y) in enumerate(b)],
+    )
+    rh = _one(trajsim.hausdorff(walk))
+    assert rh["hausdorff_u"] == 2  # nearest-point match per point
+    rf = _one(trajsim.track_distances(walk))
+    assert rf["frechet_u"] == 20  # order-sensitive: ends must couple
+
+
+def test_hausdorff_lower_bounds_frechet(spark, sf_dir):
+    from geo_import_spark.operators import trajectory
+
+    walk = trajectory.walk_points(spark, sf_dir)
+    joined = (
+        trajsim.hausdorff(walk)
+        .join(trajsim.track_distances(walk), ["ca", "cb"])
+        .select("hausdorff_u", "frechet_u")
+        .collect()
+    )
+    assert len(joined) > 0
+    assert all(r["hausdorff_u"] <= r["frechet_u"] for r in joined)
+
+
+def test_hausdorff_plan_has_no_python_stage(spark, sf_dir):
+    from geo_import_spark.operators import trajectory
+
+    df = trajsim.hausdorff(trajectory.walk_points(spark, sf_dir))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
 def test_points_scanned_once_in_plan(spark, sf_dir):
     from geo_import_spark.operators import trajectory
 
