@@ -1969,6 +1969,19 @@ def _frechet_dtw(spark, sf_dir):
     return trajsim.track_distances(trajectory.walk_points(spark, sf_dir))
 
 
+def _k_core(spark, sf_dir):
+    """k-core (k=4) of the md5-sparsified part co-order graph:
+    survivors of the iterative degree-below-k peel with their
+    within-core degree — Seidman peeling with per-round lineage
+    truncation and a fixpoint guard; the mirror unrolls the monotone
+    peel to max_rounds (a no-op past the fixpoint)."""
+    return graphmod.k_core(
+        corpus.spread_scan(
+            spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        )
+    )
+
+
 def _hausdorff(spark, sf_dir):
     """Directed + symmetric Hausdorff distance per consecutive-cust
     track pair — exact int64 Chebyshev max-of-min, computed ENTIRELY
@@ -2192,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_hulls": _cluster_hulls,
         "frechet_dtw": _frechet_dtw,
         "hausdorff": _hausdorff,
+        "k_core": _k_core,
     }
 
 
@@ -2956,4 +2970,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "cluster_hulls": _sql_cluster_hulls(),
         "frechet_dtw": _sql_frechet_dtw(),
         "hausdorff": _sql_hausdorff(),
+        "k_core": graphmod.sql_k_core(),
     }

@@ -595,3 +595,171 @@ SELECT deg.node AS node, degree,
        ELSE 0.0 END AS lcc
 FROM deg LEFT JOIN tc ON deg.node = tc.node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k) over the sparsified part co-order graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_SPARSIFY = 16  # keep edges with hash28(src:dst) % 16 == 0
+KCORE_MAX_ROUNDS = 24
+
+
+def _part_edges_sparse(lineitem: DataFrame,
+                       sparsify: int = KCORE_SPARSIFY) -> DataFrame:
+    """Deterministically sparsified part co-order graph: distinct
+    (src < dst) part pairs sharing an order, kept iff
+    hash28(src || ':' || dst) % sparsify == 0 (the trainprep
+    md5-sampling convention — rehash-stable across engines and runs).
+
+    The corpus' raw co-order graphs are near-complete (every
+    part/supplier pairs with most others), which makes any fixed-k
+    core trivial; hash sparsification is the standard determinisic
+    edge-sampling step that yields a graph with real core structure
+    while keeping the oracle mirror exact."""
+    from geo_import_spark.operators.textops import hash28
+
+    os_ = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = os_.select("ok", F.col("p").alias("src"))
+    b = os_.select("ok", F.col("p").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .filter(
+            hash28(F.concat_ws(":", F.col("src"), F.col("dst")))
+            % F.lit(sparsify)
+            == 0
+        )
+    )
+
+
+def k_core(lineitem: DataFrame, k: int = KCORE_K,
+           max_rounds: int = KCORE_MAX_ROUNDS,
+           checkpoint_dir: str | None = None) -> DataFrame:
+    """(node, core_deg): the k-core of the sparsified part co-order
+    graph — the maximal subgraph in which every node keeps >= k
+    distinct neighbors — with each survivor's within-core degree.
+
+    Iterative peeling (Seidman 1983): drop nodes whose current degree
+    is < k, recompute degrees over the induced subgraph, repeat to
+    fixpoint. Per round: the pinned symmetric edge list semi-joins
+    the alive set on BOTH endpoints (two dimension-sized hash joins),
+    then one map-side-combined count per src — the same
+    loop-with-lineage-truncation shape as bfs_hops, with the
+    convergence guard raising if the peel has not reached fixpoint
+    within max_rounds (monotone, so fixpoint is guaranteed to exist;
+    the guard bounds wall-clock, not correctness).
+
+    Scale: each round shuffles |edges alive| rows keyed by node —
+    peeling is the textbook distributed k-core (e.g. GraphX/Pregel
+    formulations); rounds are bounded by the peel depth, which is
+    small on heavy-tailed graphs (degeneracy ordering depth).
+    """
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    ck = LoopCheckpointer(checkpoint_dir, name="kcore")
+    e = _part_edges_sparse(lineitem)
+    return peel_core(e, k=k, max_rounds=max_rounds, ck=ck,
+                     spark=lineitem.sparkSession)
+
+
+def peel_core(undirected: DataFrame, k: int, max_rounds: int,
+              ck=None, spark=None) -> DataFrame:
+    """The peel loop over any undirected (src, dst) edge frame —
+    factored out of k_core so planted graphs test the fixpoint,
+    monotonicity, and guard semantics directly."""
+    from geo_import_spark.plans.itercheckpoint import LoopCheckpointer
+
+    if ck is None:
+        ck = LoopCheckpointer(None, name="kcore")
+    edges = undirected.unionAll(
+        undirected.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    n_prev = alive.count()
+    start_round = 0
+    if ck.durable and spark is not None:
+        last, saved = ck.latest(spark)
+        if last is not None:
+            alive, start_round = saved, last + 1
+            n_prev = alive.count()
+
+    deg = None
+    for it in range(start_round, max_rounds):
+        deg = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        nxt = ck.truncate(
+            deg.filter(F.col("core_deg") >= k).select(
+                F.col("src").alias("node")
+            ),
+            it,
+            eager=True,
+        )
+        n_next = nxt.count()
+        alive = nxt
+        if n_next == n_prev:
+            break
+        n_prev = n_next
+    else:
+        raise RuntimeError(
+            f"k_core: peel did not reach fixpoint in {max_rounds} rounds"
+        )
+    # at fixpoint every alive node's deg row is >= k and final
+    return deg.filter(F.col("core_deg") >= k).select(
+        F.col("src").alias("node"), "core_deg"
+    )
+
+
+def sql_k_core(k: int = KCORE_K, sparsify: int = KCORE_SPARSIFY,
+               max_rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """Unrolled-peel mirror (the sql_weighted_sssp pattern): exactly
+    max_rounds MATERIALIZED rounds — a no-op after the fixpoint the
+    Spark side's guard proves it reaches. Round r keeps the nodes
+    with >= k alive neighbors in round r-1's alive set."""
+    from geo_import_spark.operators.textops import SQL_HASH28
+
+    h = SQL_HASH28.format(x="CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
+    rounds = []
+    prev = "a0"
+    for r in range(1, max_rounds + 1):
+        rounds.append(f"""a{r} AS MATERIALIZED (
+  SELECT e.src AS node FROM e
+  JOIN {prev} s ON s.node = e.src
+  JOIN {prev} d ON d.node = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= {int(k)}
+)""")
+        prev = f"a{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH os AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT DISTINCT a.p AS src, b.p AS dst
+    FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p
+  ) WHERE ({h}) % {int(sparsify)} = 0
+),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+a0 AS (SELECT DISTINCT src AS node FROM e),
+{chain}
+SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e
+JOIN {prev} s ON s.node = e.src
+JOIN {prev} d ON d.node = e.dst
+GROUP BY e.src HAVING COUNT(*) >= {int(k)}
+"""
