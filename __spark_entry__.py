@@ -1665,6 +1665,14 @@ def _time_weighted_avg(spark, sf_dir):
     return tsmod.time_weighted_avg(_events(spark, sf_dir))
 
 
+def _cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM mean-shift changepoint per user value series:
+    exact n-scaled BIGINT statistic (D_i = n*cum_i - i*tot), argmax
+    with smallest-index tie-break — one window pass, a map-side max,
+    and an AQE-sized argmax join-back on the same user partitioning."""
+    return tsmod.cusum_changepoint(_events(spark, sf_dir))
+
+
 def _ohlc_bars(spark, sf_dir):
     """Hourly OHLC candlesticks per event type: one map-side-combined
     aggregate with widened composite-key min_by/max_by."""
@@ -2184,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_names": _nation_top_names,
         "gap_fill_hourly": _gap_fill_hourly,
         "time_weighted_avg": _time_weighted_avg,
+        "cusum_changepoint": _cusum_changepoint,
         "ohlc_bars": _ohlc_bars,
         "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
@@ -2947,6 +2956,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "nation_top_names": rankmod.SQL_NATION_TOP_NAMES,
         "gap_fill_hourly": tsmod.SQL_GAP_FILL_HOURLY,
         "time_weighted_avg": tsmod.SQL_TIME_WEIGHTED_AVG,
+        "cusum_changepoint": tsmod.SQL_CUSUM_CHANGEPOINT,
         "ohlc_bars": tsmod.SQL_OHLC_BARS,
         "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,

@@ -302,3 +302,118 @@ SELECT event_type, hour_id,
        count(*) AS n
 FROM e GROUP BY event_type, hour_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (exact integer, offline)
+# ---------------------------------------------------------------------------
+
+CUSUM_MAX_N = 50_000  # per-series guard: keeps n*cum < 2^63 (see doc)
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Single most-likely mean-shift changepoint per user's value
+    series — the offline CUSUM statistic (Page 1954 / the standard
+    binary-segmentation first split): the index i maximizing
+    |sum_{j<=i} (v_j - mean)|.
+
+    Exactness: the classic statistic is scaled by n (the series
+    length) so it stays integral — D_i = n*cum_i - i*tot is BIGINT
+    (values enter as floor-rounded micro-units, the module
+    convention), so argmax and the reported deviation are exact and
+    hash-stable. Ties break to the SMALLEST index, deterministically.
+
+    Output: (user_id, n, cp_i, cp_ts_us, max_dev) — cp_i is the
+    1-based index of the last point of the left segment, cp_ts_us its
+    timestamp, max_dev = max_i |D_i| (micro-units x n scale).
+
+    Plan: ONE window pass per user partition computes i, cum, n, tot
+    (four frames, one Exchange); the per-user max is a map-side
+    combined aggregate; the argmax join-back keys on the same user
+    partitioning (AQE-sized). The scored frame is lineage-pinned so
+    its three consumers share one window run.
+
+    Guard: series longer than CUSUM_MAX_N are dropped (mirrored in
+    SQL) — n*cum is bounded by n^2 * max_v, which clears int64 up to
+    n = 50k at the corpus' value scale; the theil_sen-style guard
+    keeps one power-law user from overflowing rather than erroring
+    the task at 100x.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wa = Window.partitionBy("user_id")
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+    )
+    d = (
+        e.select(
+            "user_id",
+            "ts_us",
+            F.row_number().over(w).alias("i"),
+            F.sum("v").over(w).alias("cum"),
+            F.count(F.lit(1)).over(wa).alias("n"),
+            F.sum("v").over(wa).alias("tot"),
+        )
+        .filter(F.col("n") <= CUSUM_MAX_N)
+        .withColumn("dev", F.col("n") * F.col("cum") - F.col("i") * F.col("tot"))
+        .withColumn("abs_d", F.abs("dev"))
+        .localCheckpoint(eager=False)
+    )
+    m = d.groupBy("user_id").agg(F.max("abs_d").alias("max_dev"))
+    am = (
+        d.join(m, "user_id")
+        .filter(F.col("abs_d") == F.col("max_dev"))
+        .groupBy("user_id")
+        .agg(F.min("i").alias("cp_i"), F.max("max_dev").alias("max_dev"))
+    )
+    return (
+        am.alias("am")
+        .join(
+            d.alias("dd"),
+            (F.col("am.user_id") == F.col("dd.user_id"))
+            & (F.col("am.cp_i") == F.col("dd.i")),
+        )
+        .select(
+            F.col("am.user_id").alias("user_id"),
+            F.col("dd.n").alias("n"),
+            F.col("am.cp_i").alias("cp_i"),
+            F.col("dd.ts_us").alias("cp_ts_us"),
+            F.col("am.max_dev").alias("max_dev"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+d AS (
+  SELECT user_id, ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS i,
+         SUM(v) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS cum,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(v) OVER (PARTITION BY user_id) AS tot
+  FROM e
+),
+dd AS (
+  SELECT user_id, ts_us, i, n,
+         n * cum - i * tot AS dev,
+         ABS(n * cum - i * tot) AS abs_d
+  FROM d WHERE n <= {CUSUM_MAX_N}
+),
+m AS (SELECT user_id, MAX(abs_d) AS max_dev FROM dd GROUP BY user_id),
+am AS (
+  SELECT dd.user_id AS user_id, MIN(dd.i) AS cp_i, MIN(m.max_dev) AS max_dev
+  FROM dd JOIN m ON m.user_id = dd.user_id AND dd.abs_d = m.max_dev
+  GROUP BY dd.user_id
+)
+SELECT am.user_id AS user_id, dd.n AS n, am.cp_i AS cp_i,
+       dd.ts_us AS cp_ts_us, am.max_dev AS max_dev
+FROM am JOIN dd ON dd.user_id = am.user_id AND dd.i = am.cp_i
+"""
