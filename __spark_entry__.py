@@ -1665,6 +1665,17 @@ def _time_weighted_avg(spark, sf_dir):
     return tsmod.time_weighted_avg(_events(spark, sf_dir))
 
 
+def _scd2_history(spark, sf_dir):
+    """Type-2 SCD history from the event stream: maximal equal-state
+    runs per user become versioned [valid_from, valid_to) intervals
+    with is_current — gaps-and-islands with the per-island aggregate
+    replaced by a change-row filter, so the whole build is two window
+    passes over ONE user_id Exchange."""
+    from geo_import_spark.operators import scd
+
+    return scd.scd2_history(_events(spark, sf_dir))
+
+
 def _cusum_changepoint(spark, sf_dir):
     """Offline CUSUM mean-shift changepoint per user value series:
     exact n-scaled BIGINT statistic (D_i = n*cum_i - i*tot), argmax
@@ -2193,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": _gap_fill_hourly,
         "time_weighted_avg": _time_weighted_avg,
         "cusum_changepoint": _cusum_changepoint,
+        "scd2_history": _scd2_history,
         "ohlc_bars": _ohlc_bars,
         "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
@@ -2957,6 +2969,9 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "gap_fill_hourly": tsmod.SQL_GAP_FILL_HOURLY,
         "time_weighted_avg": tsmod.SQL_TIME_WEIGHTED_AVG,
         "cusum_changepoint": tsmod.SQL_CUSUM_CHANGEPOINT,
+        "scd2_history": __import__(
+            "geo_import_spark.operators.scd", fromlist=["scd"]
+        ).SQL_SCD2_HISTORY,
         "ohlc_bars": tsmod.SQL_OHLC_BARS,
         "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,
