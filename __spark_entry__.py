@@ -1665,6 +1665,15 @@ def _time_weighted_avg(spark, sf_dir):
     return tsmod.time_weighted_avg(_events(spark, sf_dir))
 
 
+def _cms_term_estimates(spark, sf_dir):
+    """Count-Min sketch vs ground truth: the d×w mergeable map-side
+    counter sketch's point estimates for the exact top-k corpus
+    terms — est never undercounts; the sketch aggregate shuffles at
+    most d×w rows regardless of corpus size and the probe joins the
+    broadcast sketch."""
+    return textops.cms_term_estimates(_docs(spark, sf_dir))
+
+
 def _scd2_history(spark, sf_dir):
     """Type-2 SCD history from the event stream: maximal equal-state
     runs per user become versioned [valid_from, valid_to) intervals
@@ -2205,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": _time_weighted_avg,
         "cusum_changepoint": _cusum_changepoint,
         "scd2_history": _scd2_history,
+        "cms_estimates": _cms_term_estimates,
         "ohlc_bars": _ohlc_bars,
         "resample_linear": _resample_linear,
         "cooccur_edges": _cooccur_edges,
@@ -2972,6 +2982,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "scd2_history": __import__(
             "geo_import_spark.operators.scd", fromlist=["scd"]
         ).SQL_SCD2_HISTORY,
+        "cms_estimates": textops.sql_cms_term_estimates(),
         "ohlc_bars": tsmod.SQL_OHLC_BARS,
         "resample_linear": tsmod.sql_resample_linear(),
         "cooccur_edges": graphmod.SQL_COOCCUR_EDGES,

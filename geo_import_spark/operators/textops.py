@@ -556,3 +556,120 @@ SELECT source,
        CAST((oov_tokens * 10000) // total_tokens AS BIGINT) AS oov_bp
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable map-side term-frequency summary
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # depth: independent hash rows
+CMS_W = 1024   # width: counters per row
+CMS_TOPK = 20  # validation candidates: exact top-k terms
+
+
+def _cms_cells(term_col, d: int = CMS_D, w: int = CMS_W):
+    """Array of (r, cell) structs — one md5-derived cell per sketch
+    row, the trainprep hashing convention (row index salts the key)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                (
+                    hash28(F.concat(F.lit(f"{r}:"), term_col)) % F.lit(w)
+                ).alias("cell"),
+            )
+            for r in range(d)
+        ]
+    )
+
+
+def cms_term_estimates(documents: DataFrame,
+                       d: int = CMS_D, w: int = CMS_W,
+                       k: int = CMS_TOPK) -> DataFrame:
+    """(term, exact_n, cms_est) for the exact top-k corpus terms:
+    the Count-Min sketch point estimate next to ground truth
+    (Cormode & Muthukrishnan 2005).
+
+    The sketch is the canonical MERGEABLE map-side summary: each
+    partition folds its tokens into d×w counters; the shuffle carries
+    at most d×w rows no matter the corpus size (contrast the exact
+    path's one-row-per-term shuffle). est(t) = min over rows of the
+    counter t hashes into; CMS never undercounts (est >= exact,
+    asserted in tests), and overcounts only by collision mass ~N/w
+    per row.
+
+    This validation query computes BOTH paths — exact counts (to
+    pick candidates and expose the error) and the sketch — so it
+    deliberately pays the exact shuffle; the production path at
+    100 TB keeps only the sketch aggregate plus a candidate probe
+    (the heavy_hitters pattern). Determinism: candidate top-k is
+    totally ordered (count desc, term asc), cells are md5-derived,
+    all counters exact BIGINTs — hash parity is structural.
+
+    Plan: tokens explode ×d into cells -> ONE map-side-combined
+    groupBy(r, cell) (the sketch, dimension-sized) -> candidates
+    via TakeOrderedAndProject -> candidate×d probe rows join the
+    BROADCAST sketch -> min per term.
+    """
+    toks = documents.select(
+        F.explode(tokens_col(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=False)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(k)
+    sketch = (
+        toks.select(F.explode(_cms_cells(F.col("term"), d, w)).alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = top.select(
+        "term",
+        "exact_n",
+        F.explode(_cms_cells(F.col("term"), d, w)).alias("rc"),
+    ).select("term", "exact_n", F.col("rc.r").alias("r"),
+             F.col("rc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("term")
+        .agg(
+            F.max("exact_n").alias("exact_n"),
+            F.min("n").alias("cms_est"),
+        )
+    )
+
+
+def sql_cms_term_estimates(d: int = CMS_D, w: int = CMS_W,
+                           k: int = CMS_TOPK) -> str:
+    cell = SQL_HASH28.format(x="CAST(r AS VARCHAR) || ':' || term")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest({SQL_TOKENS}) AS term FROM documents
+),
+exact AS MATERIALIZED (
+  SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY term
+),
+top AS (
+  SELECT term, exact_n FROM exact
+  ORDER BY exact_n DESC, term ASC LIMIT {int(k)}
+),
+cells AS (
+  SELECT t.term, r.r, ({cell}) % {int(w)} AS cell
+  FROM toks t CROSS JOIN (
+    SELECT unnest(range({int(d)})) AS r
+  ) r
+),
+sketch AS (
+  SELECT r, cell, COUNT(*) AS n FROM cells GROUP BY r, cell
+),
+probes AS (
+  SELECT t.term, t.exact_n, r.r, ({cell}) % {int(w)} AS cell
+  FROM top t CROSS JOIN (
+    SELECT unnest(range({int(d)})) AS r
+  ) r
+)
+SELECT p.term AS term,
+       MAX(p.exact_n) AS exact_n,
+       MIN(s.n) AS cms_est
+FROM probes p JOIN sketch s ON s.r = p.r AND s.cell = p.cell
+GROUP BY p.term
+"""
