@@ -2010,7 +2010,7 @@ def _k_core(spark, sf_dir):
     )
 
 
-def _hausdorff(spark, sf_dir):
+def _track_hausdorff(spark, sf_dir):
     """Directed + symmetric Hausdorff distance per consecutive-cust
     track pair — exact int64 Chebyshev max-of-min, computed ENTIRELY
     in Catalyst expressions (nested zip_with/array_min/array_max,
@@ -2235,7 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "cluster_hulls": _cluster_hulls,
         "frechet_dtw": _frechet_dtw,
-        "hausdorff": _hausdorff,
+        "track_hausdorff": _track_hausdorff,
         "k_core": _k_core,
     }
 
@@ -3005,6 +3005,6 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "vocab_coverage": textops.sql_vocab_coverage(),
         "cluster_hulls": _sql_cluster_hulls(),
         "frechet_dtw": _sql_frechet_dtw(),
-        "hausdorff": _sql_hausdorff(),
+        "track_hausdorff": _sql_hausdorff(),
         "k_core": graphmod.sql_k_core(),
     }
