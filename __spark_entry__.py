@@ -1804,6 +1804,15 @@ def _conversion_lag(spark, sf_dir):
     return funnelmod.conversion_lag_quantiles(_events(spark, sf_dir))
 
 
+def _local_morans(spark, sf_dir):
+    """Local Moran's I (Anselin LISA) per occupied density-grid cell
+    with HH/LL/HL/LH/NS cluster labels — exact n-scaled deviations
+    and DECIMAL(38)-widened products, one double division per cell,
+    dimension-sized joins throughout."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.local_morans(geojson.point_spans(docs))
+
+
 def _morans_i(spark, sf_dir):
     """Global Moran's I of the density grid (rook adjacency over
     occupied cells) — exact integer num/den, one double at the end."""
@@ -2201,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_conversion": _cohort_conversion,
         "conversion_lag": _conversion_lag,
         "morans_i": _morans_i,
+        "local_morans": _local_morans,
         "gearys_c": _gearys_c,
         "pair_counts": _pair_counts,
         "hausdorff": _hausdorff,
@@ -2967,6 +2977,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "cohort_conversion": funnelmod.SQL_COHORT_CONVERSION,
         "conversion_lag": funnelmod.sql_conversion_lag_quantiles(),
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
+        "local_morans": spatialstats.sql_local_morans(SQL_POINTS),
         "gearys_c": spatialstats.sql_gearys_c(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
         "hausdorff": geodist.sql_hausdorff(SQL_POINTS, SQL_POLYGONS),

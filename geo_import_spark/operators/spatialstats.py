@@ -528,3 +528,122 @@ SELECT poly_id, n_points, sum_val, min_val, max_val,
        CAST(sum_val AS DOUBLE) / CAST(n_points AS DOUBLE) AS mean_val
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Local Moran's I (LISA) — per-cell spatial autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def local_morans(points: DataFrame) -> DataFrame:
+    """Per-cell Local Moran's I (Anselin 1995 LISA) of the density
+    grid under rook adjacency over occupied cells — the local
+    decomposition of the global morans_i (their sum relates by the
+    constant W): I_i = n_cells · d_i · lag_i / Σ_k d_k², where
+    d_i = n_cells·count_i − total (the module's n-scaled exact
+    deviation; the n_cells factors cancel exactly as in the global
+    statistic) and lag_i = Σ_{j rook-adj} d_j (binary weights).
+
+    Output per occupied cell: (x, y, di, lag, lisa, label) with
+    label the standard cluster code — HH (hot cluster), LL (cold
+    cluster), HL / LH (outliers), NS where d_i or lag is 0 and on
+    isolated cells.
+
+    Exactness: di, lag exact BIGINTs; products widen to DECIMAL(38)
+    (the global operators' overflow discipline — n_cells·di·lag
+    brushes int64); lisa is ONE double division of two exactly-
+    converted integers, so hash parity is structural. NULL lisa on
+    the degenerate all-equal grid (den = 0), matching the global
+    statistic's guard.
+
+    Plan: the same dimension-sized shapes as morans_i — one grid
+    shuffle, a broadcast scalar pair (total/n_cells, den), the
+    4-neighbor EQUI-join, one groupBy on the cell key, and a LEFT
+    join back so isolated cells keep lag = 0.
+    """
+    g = _grid_xy(points).groupBy("x", "y").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("total"),
+                F.count(F.lit(1)).alias("n_cells"))
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "x", "y", "n_cells",
+        (F.col("n_cells") * F.col("n") - F.col("total")).alias("di"),
+    )
+    dd = lambda c: F.col(c).cast("decimal(19,0)")
+    den = d.agg(
+        F.sum(dd("di") * dd("di")).cast("decimal(38,0)").alias("den")
+    )
+    contrib = d.select(
+        F.col("di").alias("dj"),
+        F.explode(
+            F.array(
+                F.struct((F.col("x") + 1).alias("x"), F.col("y").alias("y")),
+                F.struct((F.col("x") - 1).alias("x"), F.col("y").alias("y")),
+                F.struct(F.col("x").alias("x"), (F.col("y") + 1).alias("y")),
+                F.struct(F.col("x").alias("x"), (F.col("y") - 1).alias("y")),
+            )
+        ).alias("nb"),
+    ).select(F.col("nb.x").alias("x"), F.col("nb.y").alias("y"), "dj")
+    lag = contrib.groupBy("x", "y").agg(F.sum("dj").alias("lag"))
+    out = (
+        d.join(lag, ["x", "y"], "left")
+        .withColumn("lag", F.coalesce("lag", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(den))
+    )
+    num = (
+        F.col("n_cells").cast("decimal(38,0)")
+        * F.col("di").cast("decimal(38,0)")
+        * F.col("lag").cast("decimal(38,0)")
+    )
+    return out.select(
+        "x",
+        "y",
+        "di",
+        "lag",
+        F.when(
+            F.col("den") > 0,
+            num.cast("decimal(38,0)").cast("double")
+            / F.col("den").cast("double"),
+        ).alias("lisa"),
+        F.when((F.col("di") == 0) | (F.col("lag") == 0), F.lit("NS"))
+        .when((F.col("di") > 0) & (F.col("lag") > 0), F.lit("HH"))
+        .when((F.col("di") < 0) & (F.col("lag") < 0), F.lit("LL"))
+        .when(F.col("di") > 0, F.lit("HL"))
+        .otherwise(F.lit("LH"))
+        .alias("label"),
+    )
+
+
+def sql_local_morans(sql_points: str) -> str:
+    """Mirror over the same grid CTEs as sql_morans_i; HUGEINT
+    products, one double division, identical label CASE."""
+    return f"""
+WITH pts AS ({sql_points}), c AS (
+  SELECT GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS y
+  FROM pts
+),
+g AS (SELECT x, y, count(*) AS n FROM c GROUP BY x, y),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS n_cells FROM g),
+d AS (SELECT x, y, n_cells, n_cells * n - total AS di FROM g, tot),
+den AS (SELECT SUM(CAST(di AS HUGEINT) * di) AS den FROM d),
+contrib AS (
+  SELECT nb.x AS x, nb.y AS y, d.di AS dj
+  FROM d, LATERAL (VALUES (d.x + 1, d.y), (d.x - 1, d.y),
+                          (d.x, d.y + 1), (d.x, d.y - 1)) AS nb(x, y)
+),
+lag AS (SELECT x, y, CAST(SUM(dj) AS BIGINT) AS lag
+        FROM contrib GROUP BY x, y)
+SELECT d.x AS x, d.y AS y, d.di AS di,
+       COALESCE(lag.lag, 0) AS lag,
+       CASE WHEN den.den > 0 THEN
+         CAST(CAST(d.n_cells AS HUGEINT) * d.di
+              * COALESCE(lag.lag, 0) AS DOUBLE)
+           / CAST(den.den AS DOUBLE)
+       END AS lisa,
+       CASE WHEN d.di = 0 OR COALESCE(lag.lag, 0) = 0 THEN 'NS'
+            WHEN d.di > 0 AND lag.lag > 0 THEN 'HH'
+            WHEN d.di < 0 AND lag.lag < 0 THEN 'LL'
+            WHEN d.di > 0 THEN 'HL'
+            ELSE 'LH' END AS label
+FROM d LEFT JOIN lag ON lag.x = d.x AND lag.y = d.y, den
+"""
