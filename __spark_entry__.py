@@ -1813,6 +1813,36 @@ def _local_morans(spark, sf_dir):
     return spatialstats.local_morans(geojson.point_spans(docs))
 
 
+_SQL_ORDER_MONTHS = """
+SELECT 'doc-' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+       CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS month_id
+FROM orders
+"""
+
+
+def _order_months(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("doc-"), F.col("o_orderkey").cast("string")).alias(
+            "doc_id"
+        ),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_id"),
+    )
+
+
+def _emerging_hotspots(spark, sf_dir):
+    """Mann-Kendall monthly trend per occupied density-grid cell with
+    inc/dec/flat labels — exact integer S over the dense calendar
+    series; the 5% significance cut is an integer inequality
+    (S²·18·10⁴ vs 38416·Var18), no sqrt, no doubles."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.emerging_hotspots(
+        geojson.point_spans(docs), _order_months(spark, sf_dir)
+    )
+
+
 def _morans_i(spark, sf_dir):
     """Global Moran's I of the density grid (rook adjacency over
     occupied cells) — exact integer num/den, one double at the end."""
@@ -2211,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": _conversion_lag,
         "morans_i": _morans_i,
         "local_morans": _local_morans,
+        "emerging_hotspots": _emerging_hotspots,
         "gearys_c": _gearys_c,
         "pair_counts": _pair_counts,
         "hausdorff": _hausdorff,
@@ -2978,6 +3009,9 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "conversion_lag": funnelmod.sql_conversion_lag_quantiles(),
         "morans_i": spatialstats.sql_morans_i(SQL_POINTS),
         "local_morans": spatialstats.sql_local_morans(SQL_POINTS),
+        "emerging_hotspots": spatialstats.sql_emerging_hotspots(
+            SQL_POINTS, _SQL_ORDER_MONTHS
+        ),
         "gearys_c": spatialstats.sql_gearys_c(SQL_POINTS),
         "pair_counts": spatialstats.sql_pair_counts(SQL_POINTS),
         "hausdorff": geodist.sql_hausdorff(SQL_POINTS, SQL_POLYGONS),

@@ -647,3 +647,143 @@ SELECT d.x AS x, d.y AS y, d.di AS di,
             ELSE 'LH' END AS label
 FROM d LEFT JOIN lag ON lag.x = d.x AND lag.y = d.y, den
 """
+
+
+# ---------------------------------------------------------------------------
+# Emerging hotspots: Mann-Kendall monthly trend per density-grid cell
+# ---------------------------------------------------------------------------
+
+
+def emerging_hotspots(points: DataFrame, months: DataFrame) -> DataFrame:
+    """Space-time trend per occupied grid cell — the Mann-Kendall S
+    statistic (Mann 1945 / Kendall 1975) over the cell's DENSE
+    monthly count series, labeled like the classic emerging-hotspot
+    analysis: 'inc' / 'dec' when the trend is significant at ~5%,
+    else 'flat'.
+
+    `months` maps doc_id -> month_id (the pip_month_counts calendar
+    dimension); the month RANGE is global (from the calendar, not
+    per cell), and missing (cell, month) pairs count 0 — trends are
+    judged on the same dense series everywhere.
+
+    Exactness end to end: S = Σ_{i<j} sign(c_j − c_i) is an exact
+    integer; the normal-approximation significance test
+    |S|/sqrt(Var), Var = n(n−1)(2n+5)/18, is evaluated WITHOUT sqrt
+    or doubles as the equivalent integer comparison
+        S² · 18 · 10⁴  >  38416 · n(n−1)(2n+5)        (1.96² = 3.8416)
+    so the label is hash-stable by construction. (No tie correction:
+    zero-differences simply contribute 0 to S, the plain-MK form.)
+
+    Output: (x, y, n_months, s, label).
+
+    Plan: points shuffle once to (cell, doc) and join the doc-keyed
+    calendar; counts aggregate map-side; the dense frame is occupied
+    cells × sequence(m0..m1) from a broadcast 1-row bound —
+    dimension-sized (≤ 4^level · months). The pair stage self-joins
+    the dense frame on the CELL key (both sides share the exchange),
+    quadratic only in months-per-cell, which is calendar-bounded —
+    the same bounded-quadratic argument as theil_sen after its
+    guard.
+    """
+    cells = _grid_xy_doc(points)
+    hit_m = cells.join(months, "doc_id").select("x", "y", "month_id")
+    counts = hit_m.groupBy("x", "y", "month_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = months.agg(
+        F.min("month_id").alias("m0"), F.max("month_id").alias("m1")
+    )
+    occupied = counts.select("x", "y").distinct()
+    dense = (
+        occupied.crossJoin(F.broadcast(bounds))
+        .select(
+            "x", "y", "m0", "m1",
+            F.explode(F.sequence("m0", "m1")).alias("month_id"),
+        )
+        .join(counts, ["x", "y", "month_id"], "left")
+        .select(
+            "x", "y", "month_id",
+            (F.col("m1") - F.col("m0") + 1).alias("n_months"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.y") == F.col("b.y"))
+            & (F.col("b.month_id") > F.col("a.month_id")),
+        )
+        .groupBy(F.col("a.x").alias("x"), F.col("a.y").alias("y"))
+        .agg(
+            F.max(F.col("a.n_months")).alias("n_months"),
+            F.sum(F.signum(F.col("b.n") - F.col("a.n")).cast("long"))
+            .alias("s"),
+        )
+    )
+    nm = F.col("n_months")
+    var18 = nm * (nm - 1) * (2 * nm + 5)  # 18·Var, exact
+    sig = (F.col("s") * F.col("s") * 18 * 10_000) > (38_416 * var18)
+    return s.select(
+        "x", "y", "n_months", "s",
+        F.when(~sig, F.lit("flat"))
+        .when(F.col("s") > 0, F.lit("inc"))
+        .otherwise(F.lit("dec"))
+        .alias("label"),
+    )
+
+
+def _grid_xy_doc(points: DataFrame) -> DataFrame:
+    """_grid_xy keeping doc_id (for calendar joins)."""
+    gx = F.floor((F.col("lon") + 180.0) / 360.0 * _N).cast("long")
+    gy = F.floor((90.0 - F.col("lat")) / 180.0 * _N).cast("long")
+    clamp = lambda c: F.greatest(F.least(c, F.lit(_N - 1)), F.lit(0))
+    return points.select(
+        "doc_id", clamp(gx).alias("x"), clamp(gy).alias("y")
+    )
+
+
+def sql_emerging_hotspots(sql_points: str, sql_months: str) -> str:
+    return f"""
+WITH pts AS ({sql_points}),
+mo AS ({sql_months}),
+c AS (
+  SELECT doc_id,
+         GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS y
+  FROM pts
+),
+counts AS (
+  SELECT x, y, month_id, COUNT(*) AS n
+  FROM c JOIN mo USING (doc_id) GROUP BY x, y, month_id
+),
+bounds AS (SELECT MIN(month_id) AS m0, MAX(month_id) AS m1 FROM mo),
+dense AS (
+  SELECT o.x, o.y, m.month_id,
+         b.m1 - b.m0 + 1 AS n_months,
+         COALESCE(counts.n, 0) AS n
+  FROM (SELECT DISTINCT x, y FROM counts) o
+  CROSS JOIN bounds b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.m0, b.m1)) AS month_id
+  ) m
+  LEFT JOIN counts ON counts.x = o.x AND counts.y = o.y
+                  AND counts.month_id = m.month_id
+),
+s AS (
+  SELECT a.x, a.y, MAX(a.n_months) AS n_months,
+         CAST(SUM(SIGN(b.n - a.n)) AS BIGINT) AS s
+  FROM dense a JOIN dense b
+    ON b.x = a.x AND b.y = a.y AND b.month_id > a.month_id
+  GROUP BY a.x, a.y
+)
+SELECT x, y, n_months, s,
+       CASE WHEN NOT (s * s * 18 * 10000
+                      > 38416 * n_months * (n_months - 1)
+                              * (2 * n_months + 5)) THEN 'flat'
+            WHEN s > 0 THEN 'inc'
+            ELSE 'dec' END AS label
+FROM s
+"""
