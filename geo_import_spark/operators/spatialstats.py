@@ -687,8 +687,15 @@ def emerging_hotspots(points: DataFrame, months: DataFrame) -> DataFrame:
     """
     cells = _grid_xy_doc(points)
     hit_m = cells.join(months, "doc_id").select("x", "y", "month_id")
-    counts = hit_m.groupBy("x", "y", "month_id").agg(
-        F.count(F.lit(1)).alias("n")
+    # Lineage pins (the tile_pyramid/grid_dbscan discipline): counts
+    # feeds three consumers (occupied, the left join, and — via dense
+    # — both self-join sides); without the pins the executed plan
+    # re-scans the point and calendar sources 10x (measured), with
+    # them the fact tables are touched once per role.
+    counts = (
+        hit_m.groupBy("x", "y", "month_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     bounds = months.agg(
         F.min("month_id").alias("m0"), F.max("month_id").alias("m1")
@@ -706,6 +713,7 @@ def emerging_hotspots(points: DataFrame, months: DataFrame) -> DataFrame:
             (F.col("m1") - F.col("m0") + 1).alias("n_months"),
             F.coalesce("n", F.lit(0).cast("long")).alias("n"),
         )
+        .localCheckpoint(eager=False)
     )
     a = dense.alias("a")
     b = dense.alias("b")
