@@ -71,3 +71,14 @@ def test_dense_zero_fill_uses_global_calendar(spark):
     b = out[(20, 20)]
     assert b["n_months"] == 5
     assert b["s"] == 4  # four rises from 0 to 7, ties elsewhere
+
+
+def test_sources_not_rescanned_in_plan(spark, sf_dir):
+    # the counts/dense pins keep the point+calendar sources out of
+    # the final fragment (measured 10 scans before the pins)
+    import __spark_entry__ as e
+
+    df = e.queries()["emerging_hotspots"](spark, sf_dir)
+    df.count()  # materialize the pins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
