@@ -828,6 +828,13 @@ def _trajectory_stats(spark, sf_dir):
     )
 
 
+def _mad_outliers(spark, sf_dir):
+    """Median absolute deviation + 3*MAD fence count per event type —
+    exact BIGINT lower medians over the pinned (type, value)
+    histogram; events scanned once, medians broadcast back."""
+    return statsmod.mad_outliers(_events(spark, sf_dir))
+
+
 def _weighted_median(spark, sf_dir):
     """Exact lower weighted median of price (cents) weighted by
     quantity per return flag — histogram-first so the cumsum window
@@ -2152,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_thin": _tile_thin,
         "skyline_parts": _skyline_parts,
         "weighted_median": _weighted_median,
+        "mad_outliers": _mad_outliers,
         "theil_sen": _theil_sen,
         "raster_convolve": _raster_convolve,
         "grid_dbscan": _grid_dbscan,
@@ -2854,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_thin": tiling.sql_tile_thin(SQL_POINTS),
         "skyline_parts": _sql_skyline_parts(),
         "weighted_median": _sql_weighted_median(),
+        "mad_outliers": statsmod.SQL_MAD_OUTLIERS,
         "theil_sen": _sql_theil_sen(),
         "raster_convolve": tiling.sql_raster_convolve(SQL_POINTS),
         "grid_dbscan": _sql_grid_dbscan(),

@@ -521,3 +521,126 @@ SELECT cust, CAST(NULL AS BIGINT) AS n_pairs,
        CAST(NULL AS DOUBLE) AS sen_slope
 FROM cnt WHERE n_orders > {THEIL_SEN_MAX_GROUP}
 """
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers: median absolute deviation per event type
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Robust dispersion + outlier count per event type: the lower
+    median m of the value series, the lower median of |v − m| (MAD),
+    and how many observations sit beyond the classic 3·MAD fence —
+    all exact BIGINT micro-units (weighted_median's total-order-free
+    lower-median definition, so no tiebreaks, no doubles anywhere).
+
+    Output: (event_type, med_u, mad_u, n, n_outliers).
+
+    Plan: events are touched ONCE — the (type, value) histogram is
+    lineage-pinned and every later stage (median window, deviation
+    histogram, MAD window, fence count) derives from it; medians
+    join back as broadcast |types|-row frames. The windows run over
+    distinct values per type (value cardinality, not row count) —
+    the weighted_median scalability argument.
+    """
+    hist = (
+        events.groupBy(
+            F.col("event_type"),
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+
+    def lower_median(h, val_col):
+        win = (
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = Window.partitionBy("event_type")
+        c = h.select(
+            "event_type",
+            F.col(val_col),
+            F.sum("w").over(win).alias("cum_w"),
+            F.sum("w").over(tot).alias("tot_w"),
+        )
+        return (
+            c.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+            .groupBy("event_type")
+            .agg(F.min(val_col).alias("med"))
+        )
+
+    med = lower_median(hist, "v")
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v") - F.col("med")).alias("dev"),
+            "w",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("w").alias("w"))
+    )
+    mad = lower_median(dev_hist, "dev").withColumnRenamed("med", "mad_u")
+    return (
+        dev_hist.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("mad_u").alias("mad_u"),
+            F.sum("w").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_u"), F.col("w"))
+                .otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .join(F.broadcast(med.withColumnRenamed("med", "med_u")),
+              "event_type")
+        .select("event_type", "med_u", "mad_u", "n", "n_outliers")
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH h AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+         COUNT(*) AS w
+  FROM events GROUP BY 1, 2
+),
+mc AS (
+  SELECT event_type, v,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(w) OVER (PARTITION BY event_type) AS tot_w
+  FROM h
+),
+med AS (
+  SELECT event_type, MIN(v) AS med_u FROM mc
+  WHERE 2 * cum_w >= tot_w GROUP BY event_type
+),
+dh AS (
+  SELECT h.event_type, ABS(h.v - med.med_u) AS dev,
+         CAST(SUM(h.w) AS BIGINT) AS w
+  FROM h JOIN med USING (event_type)
+  GROUP BY 1, 2
+),
+dc AS (
+  SELECT event_type, dev,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY dev
+                      ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(w) OVER (PARTITION BY event_type) AS tot_w
+  FROM dh
+),
+mad AS (
+  SELECT event_type, MIN(dev) AS mad_u FROM dc
+  WHERE 2 * cum_w >= tot_w GROUP BY event_type
+)
+SELECT dh.event_type AS event_type,
+       MIN(med.med_u) AS med_u,
+       MAX(mad.mad_u) AS mad_u,
+       CAST(SUM(dh.w) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dh.dev > 3 * mad.mad_u THEN dh.w
+                     ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dh JOIN mad USING (event_type) JOIN med USING (event_type)
+GROUP BY dh.event_type
+"""
