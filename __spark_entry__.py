@@ -113,6 +113,18 @@ def _sql_theil_sen() -> str:
     return SQL_THEIL_SEN
 
 
+def _sql_line_densify() -> str:
+    from geo_import_spark.operators.lineref import sql_line_densify
+
+    return sql_line_densify(corpus.SQL_SEGMENTS_A)
+
+
+def _sql_session_paths() -> str:
+    from geo_import_spark.operators.temporal import sql_session_paths
+
+    return sql_session_paths()
+
+
 def _sql_skyline_parts() -> str:
     from geo_import_spark.operators.ranking import SQL_SKYLINE_PARTS
 
@@ -2067,6 +2079,57 @@ def _track_hausdorff(spark, sf_dir):
     return trajsim.hausdorff(trajectory.walk_points(spark, sf_dir))
 
 
+def _m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., PVLDB'14):
+    first/last/min/max value + timestamp per 4-hour pixel bucket and
+    event type — one map-side-combined aggregate on exact composite
+    integer keys, output dimension-sized at any input scale."""
+    return tsmod.m4_downsample(_events(spark, sf_dir))
+
+
+def _ewma_scan(spark, sf_dir):
+    """Fixed-point EWMA (alpha=1/2 one-pole IIR) per user series —
+    the halving recurrence folded JVM-side by an `aggregate`
+    higher-order function over the sorted per-user array; exact
+    BIGINT outputs, recursive-CTE mirror."""
+    return tsmod.ewma_scan(_events(spark, sf_dir))
+
+
+def _getis_ord(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores per occupied density-grid cell
+    (queen+self neighborhood) with hot/cold confidence labels —
+    all-integer numerators, DECIMAL(38) products, one double
+    expression per cell."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.getis_ord(geojson.point_spans(docs))
+
+
+def _link_prediction(spark, sf_dir):
+    """Top-k common-neighbor/Jaccard link prediction on the
+    sparsified part co-order graph — one wedge self-join, anti-join
+    against existing edges, exact-int score inputs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return graphmod.link_prediction(li)
+
+
+def _line_densify(spark, sf_dir):
+    """ST_Segmentize analogue: 4 substeps per segment on the exact
+    quarter-µdeg integer lattice — a pure bounded posexplode map,
+    zero shuffles."""
+    from geo_import_spark.operators import lineref
+
+    return lineref.line_densify(corpus.line_segments_a(spark, sf_dir))
+
+
+def _session_paths(spark, sf_dir):
+    """Top-k event-type journey strings across 30-min-gap sessions —
+    one user_id exchange for both windows, sorted-array path build,
+    map-side-combined global count."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.session_paths(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -2286,6 +2349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_dtw": _frechet_dtw,
         "track_hausdorff": _track_hausdorff,
         "k_core": _k_core,
+        "m4_downsample": _m4_downsample,
+        "ewma_scan": _ewma_scan,
+        "getis_ord": _getis_ord,
+        "link_prediction": _link_prediction,
+        "line_densify": _line_densify,
+        "session_paths": _session_paths,
     }
 
 
@@ -3061,4 +3130,10 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "frechet_dtw": _sql_frechet_dtw(),
         "track_hausdorff": _sql_hausdorff(),
         "k_core": graphmod.sql_k_core(),
+        "m4_downsample": tsmod.SQL_M4_DOWNSAMPLE,
+        "ewma_scan": tsmod.SQL_EWMA_SCAN,
+        "getis_ord": spatialstats.sql_getis_ord(SQL_POINTS),
+        "link_prediction": graphmod.sql_link_prediction(),
+        "line_densify": _sql_line_densify(),
+        "session_paths": _sql_session_paths(),
     }

@@ -763,3 +763,117 @@ JOIN {prev} s ON s.node = e.src
 JOIN {prev} d ON d.node = e.dst
 GROUP BY e.src HAVING COUNT(*) >= {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores for 2-hop pairs
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOP_K = 200
+
+
+def link_prediction(lineitem: DataFrame,
+                    top_k: int = LINKPRED_TOP_K,
+                    sparsify: int = KCORE_SPARSIFY) -> DataFrame:
+    """Top-k predicted links on the sparsified part co-order graph
+    (the k_core edge set): for every NON-adjacent 2-hop pair (u, w),
+    cn = |N(u) ∩ N(w)| and the Jaccard coefficient
+    cn / (deg_u + deg_w - cn) — the classic neighborhood link
+    predictor (Liben-Nowell & Kleinberg, CIKM 2003).
+
+    Exactness: cn and degrees are exact BIGINTs; the score is ONE
+    double division of two exact ints, so the (score, u, w) ordering
+    — and therefore the top-k cut — is decided identically in both
+    engines; (u, w) pairs are unique so the total order has no
+    nondeterministic ties.
+
+    Plan: ONE wedge self-join of the directed edge list on the
+    middle vertex (u < w halves the pairs), a map-side-combined
+    count on the pair key, a LEFT ANTI join against the existing
+    edges, two broadcast-sized degree joins, and a TakeOrdered
+    top-k. The deterministic hash sparsification (_part_edges_sparse)
+    bounds the max degree, which bounds the wedge fan-out — the same
+    reason triangle_count stays feasible; at 100x a per-node top-d
+    neighbor cap before the wedge join is the documented knob.
+
+    Output: (u, w, cn, deg_u, deg_w, jaccard), top_k by
+    (jaccard DESC, u, w).
+    """
+    edges = _part_edges_sparse(lineitem, sparsify=sparsify)
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_l = und.select(F.col("dst").alias("m"), F.col("src").alias("u"))
+    wedge_r = und.select(F.col("src").alias("m"), F.col("dst").alias("w"))
+    pairs = (
+        wedge_l.join(wedge_r, "m")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = pairs.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("src").alias("u"),
+                             F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("src").alias("w"),
+                         F.col("deg").alias("deg_w")), "w")
+        .select(
+            "u", "w", "cn", "deg_u", "deg_w",
+            (F.col("cn").cast("double")
+             / (F.col("deg_u") + F.col("deg_w") - F.col("cn")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("u"), F.col("w")
+    ).limit(top_k)
+
+
+def sql_link_prediction(top_k: int = LINKPRED_TOP_K,
+                        sparsify: int = KCORE_SPARSIFY) -> str:
+    """Mirror over the sql_k_core sparsified edge CTEs: one wedge
+    join, anti-join via NOT EXISTS, the identical one-division
+    score and (jaccard DESC, u, w) top-k."""
+    from geo_import_spark.operators.textops import SQL_HASH28
+
+    h = SQL_HASH28.format(
+        x="CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
+    return f"""
+WITH os AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT DISTINCT a.p AS src, b.p AS dst
+    FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p
+  ) WHERE ({h}) % {int(sparsify)} = 0
+),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+pairs AS (
+  SELECT l.src AS u, r.dst AS w, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM e l JOIN e r ON l.dst = r.src AND l.src < r.dst
+  GROUP BY l.src, r.dst
+),
+cand AS (
+  SELECT * FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e0
+                    WHERE e0.src = p.u AND e0.dst = p.w)
+)
+SELECT c.u AS u, c.w AS w, c.cn AS cn,
+       du.deg AS deg_u, dw.deg AS deg_w,
+       CAST(c.cn AS DOUBLE)
+         / CAST(du.deg + dw.deg - c.cn AS DOUBLE) AS jaccard
+FROM cand c
+JOIN deg du ON du.src = c.u
+JOIN deg dw ON dw.src = c.w
+ORDER BY jaccard DESC, u, w
+LIMIT {int(top_k)}
+"""

@@ -214,3 +214,52 @@ SELECT sector, COUNT(*) AS n_trips, CAST(SUM(l1) AS BIGINT) AS l1_total
 FROM sect WHERE sector IS NOT NULL
 GROUP BY sector
 """
+
+
+# ---------------------------------------------------------------------------
+# Segment densification (ST_Segmentize analogue, exact lattice)
+# ---------------------------------------------------------------------------
+
+DENSIFY_SUB = 4  # substeps per segment
+
+
+def line_densify(segments: DataFrame,
+                 nsub: int = DENSIFY_SUB) -> DataFrame:
+    """PostGIS `ST_Segmentize` analogue: insert nsub-1 evenly spaced
+    vertices along every segment (plus both endpoints), emitted on
+    the 1/nsub-micro-degree lattice so every coordinate is an exact
+    BIGINT: pxn = nsub·x1 + i·(x2−x1), i = 0..nsub — no floats, no
+    rounding rule to agree on, hash parity structural. Callers
+    wanting µdeg floats divide by nsub once at the edge.
+
+    Plan: a pure map — one bounded ×(nsub+1) posexplode of a
+    constant sequence; zero shuffles, composes with any upstream
+    segment scan unchanged at any scale.
+
+    Output: (line_id, i, pxn, pyn).
+    """
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    s = segments.select(
+        "line_id", "x1", "y1", dx.alias("dx"), dy.alias("dy"),
+        F.posexplode(F.sequence(F.lit(0), F.lit(int(nsub)))).alias("i", "_v"),
+    )
+    n = F.lit(int(nsub))
+    return s.select(
+        "line_id", "i",
+        (n * F.col("x1") + F.col("i") * F.col("dx")).alias("pxn"),
+        (n * F.col("y1") + F.col("i") * F.col("dy")).alias("pyn"),
+    )
+
+
+def sql_line_densify(sql_segments: str,
+                     nsub: int = DENSIFY_SUB) -> str:
+    """Mirror: LATERAL generate_series over the same segment CTE,
+    identical integer lattice arithmetic."""
+    return f"""
+WITH seg AS ({sql_segments})
+SELECT line_id, CAST(i AS INTEGER) AS i,
+       {int(nsub)} * x1 + i * (x2 - x1) AS pxn,
+       {int(nsub)} * y1 + i * (y2 - y1) AS pyn
+FROM seg, LATERAL generate_series(0, {int(nsub)}) AS t(i)
+"""

@@ -795,3 +795,143 @@ SELECT x, y, n_months, s,
             ELSE 'dec' END AS label
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot statistic per grid cell
+# ---------------------------------------------------------------------------
+
+
+def getis_ord(points: DataFrame) -> DataFrame:
+    """Per-cell Getis-Ord Gi* (Getis & Ord 1992 / Ord & Getis 1995)
+    of the density grid under QUEEN adjacency incl. self over
+    occupied cells — the hotspot z-score the classic "hot spot
+    analysis" tool computes:
+
+        Gi* = (L_i - X_bar W_i) / (S sqrt[(n W_i - W_i^2)/(n-1)])
+
+    with binary weights, L_i = sum of counts over the 3x3
+    neighborhood's OCCUPIED cells, W_i their cell count (incl. self),
+    n the occupied-cell count, X_bar = T/n, S = sqrt(nQ - T^2)/n
+    (T = total points, Q = sum of squared counts). Multiplying
+    through by n gives the all-integer form computed here:
+
+        z_i = A_i * sqrt(n-1) / sqrt(B_i),
+        A_i = n L_i - T W_i,   B_i = (nQ - T^2)(n W_i - W_i^2)
+
+    Exactness: A_i is exact BIGINT; B_i widens to DECIMAL(38)
+    (HUGEINT in the mirror — nQ brushes int64 at 100x counts); z is
+    ONE double expression (two exact int->double casts, two
+    correctly-rounded sqrts, one multiply, one divide — identical
+    bits in both engines). NULL z where B_i <= 0 (the all-equal grid
+    or W_i = n degeneracies). Labels at the standard Gi* confidence
+    bins: |z| >= 2.576 -> hot99/cold99, >= 1.96 -> hot95/cold95,
+    else ns.
+
+    Plan: the local_morans shapes — one grid shuffle, a broadcast
+    1-row scalar frame (T, n, Q), the 9-offset EQUI-join (queen +
+    self, never a distance cross join), one groupBy on the cell key.
+    Everything after the first aggregate is dimension-sized
+    (occupied cells), so the operator costs one point-table pass at
+    any scale.
+
+    Output: (x, y, cnt, w_i, l_i, z, label).
+    """
+    g = _grid_xy(points).groupBy("x", "y").agg(F.count("*").alias("n"))
+    tot = g.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("q"),
+    )
+    offsets = [
+        F.struct((F.col("x") + dx).alias("x"), (F.col("y") + dy).alias("y"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ]
+    contrib = g.select(
+        F.col("n").alias("nj"), F.explode(F.array(*offsets)).alias("nb")
+    ).select(F.col("nb.x").alias("x"), F.col("nb.y").alias("y"), "nj")
+    # inner join back to occupied cells: contributions on empty cells drop
+    hood = contrib.join(g.select("x", "y"), ["x", "y"]).groupBy("x", "y").agg(
+        F.sum("nj").alias("l_i"), F.count(F.lit(1)).alias("w_i")
+    )
+    out = g.join(hood, ["x", "y"]).crossJoin(F.broadcast(tot))
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a_i = (F.col("n_cells") * F.col("l_i") - F.col("total") * F.col("w_i"))
+    b_i = (
+        (dd("n_cells") * F.col("q") - dd("total") * dd("total"))
+        * (dd("n_cells") * dd("w_i") - dd("w_i") * dd("w_i"))
+    ).cast("decimal(38,0)")
+    z = (
+        a_i.cast("double")
+        * F.sqrt((F.col("n_cells") - 1).cast("double"))
+        / F.sqrt(b_i.cast("double"))
+    )
+    return out.select(
+        "x", "y",
+        F.col("n").alias("cnt"),
+        "w_i", "l_i",
+        F.when(b_i > 0, z).alias("z"),
+        F.when(b_i <= 0, F.lit("ns"))
+        .when(z >= 2.576, F.lit("hot99"))
+        .when(z >= 1.96, F.lit("hot95"))
+        .when(z <= -2.576, F.lit("cold99"))
+        .when(z <= -1.96, F.lit("cold95"))
+        .otherwise(F.lit("ns"))
+        .alias("label"),
+    )
+
+
+def sql_getis_ord(sql_points: str) -> str:
+    """Mirror over the same grid CTEs as sql_local_morans: 9-way
+    LATERAL VALUES queen+self neighborhood, HUGEINT products, one
+    double expression for z, identical label CASE."""
+    return f"""
+WITH pts AS ({sql_points}), c AS (
+  SELECT GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS y
+  FROM pts
+),
+g AS (SELECT x, y, count(*) AS n FROM c GROUP BY x, y),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS n_cells,
+               SUM(CAST(n AS HUGEINT) * n) AS q
+        FROM g),
+contrib AS (
+  SELECT nb.x AS x, nb.y AS y, g.n AS nj
+  FROM g, LATERAL (VALUES
+      (g.x - 1, g.y - 1), (g.x - 1, g.y), (g.x - 1, g.y + 1),
+      (g.x, g.y - 1), (g.x, g.y), (g.x, g.y + 1),
+      (g.x + 1, g.y - 1), (g.x + 1, g.y), (g.x + 1, g.y + 1)) AS nb(x, y)
+),
+hood AS (
+  SELECT contrib.x AS x, contrib.y AS y,
+         CAST(SUM(nj) AS BIGINT) AS l_i, count(*) AS w_i
+  FROM contrib JOIN g ON g.x = contrib.x AND g.y = contrib.y
+  GROUP BY contrib.x, contrib.y
+),
+o AS (
+  SELECT g.x, g.y, g.n, hood.w_i, hood.l_i,
+         tot.total, tot.n_cells, tot.q,
+         n_cells * l_i - total * w_i AS a_i,
+         (CAST(n_cells AS HUGEINT) * q - CAST(total AS HUGEINT) * total)
+           * (CAST(n_cells AS HUGEINT) * w_i
+              - CAST(w_i AS HUGEINT) * w_i) AS b_i
+  FROM g JOIN hood ON hood.x = g.x AND hood.y = g.y, tot
+)
+SELECT x, y, n AS cnt, w_i, l_i,
+       CASE WHEN b_i > 0 THEN
+         CAST(a_i AS DOUBLE) * sqrt(CAST(n_cells - 1 AS DOUBLE))
+           / sqrt(CAST(b_i AS DOUBLE))
+       END AS z,
+       CASE WHEN b_i <= 0 THEN 'ns'
+            WHEN CAST(a_i AS DOUBLE) * sqrt(CAST(n_cells - 1 AS DOUBLE))
+                   / sqrt(CAST(b_i AS DOUBLE)) >= 2.576 THEN 'hot99'
+            WHEN CAST(a_i AS DOUBLE) * sqrt(CAST(n_cells - 1 AS DOUBLE))
+                   / sqrt(CAST(b_i AS DOUBLE)) >= 1.96 THEN 'hot95'
+            WHEN CAST(a_i AS DOUBLE) * sqrt(CAST(n_cells - 1 AS DOUBLE))
+                   / sqrt(CAST(b_i AS DOUBLE)) <= -2.576 THEN 'cold99'
+            WHEN CAST(a_i AS DOUBLE) * sqrt(CAST(n_cells - 1 AS DOUBLE))
+                   / sqrt(CAST(b_i AS DOUBLE)) <= -1.96 THEN 'cold95'
+            ELSE 'ns' END AS label
+FROM o
+"""

@@ -305,3 +305,106 @@ SELECT res_s,
 FROM e
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top event-type sequences)
+# ---------------------------------------------------------------------------
+
+SESSION_PATH_GAP_MIN = 30
+SESSION_PATH_TOP_K = 50
+
+
+def session_paths(events: DataFrame,
+                  gap_minutes: int = SESSION_PATH_GAP_MIN,
+                  top_k: int = SESSION_PATH_TOP_K) -> DataFrame:
+    """Top-k most frequent event-type paths across gap-based
+    sessions — the clickstream "common journeys" rollup: each
+    session's events in (us, event_id) order join into a '>'-
+    delimited path string, then one global count per path.
+
+    Exactness: session boundaries are exact integer µs-gap
+    comparisons (the sessionize rule at µs precision with event_id
+    tiebreaks); the path string is built from a sorted struct array,
+    so the string — and the (n_sessions DESC, path) top-k order,
+    paths being unique — is identical in both engines.
+
+    Plan: ONE user_id exchange carries both windows (lag gap +
+    running session id); the path build is a groupBy on (user_id,
+    session) whose collect_list is bounded by session length; the
+    final count is map-side combined on the path key and TakeOrdered
+    cuts top-k. No joins, no data-sized driver state. At 100x a
+    session-length cap (the ewma_scan guard pattern) bounds the
+    per-group array; paths beyond the corpus' bounded sessions would
+    add it.
+
+    Output: (path, n_sessions, n_users), top_k by
+    (n_sessions DESC, path).
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    ).withColumn("sid", F.sum("is_new").over(w))
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "event_type"))
+        ).alias("seq"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("seq"), lambda x: x["event_type"]), ">"
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(int(top_k))
+    )
+
+
+def sql_session_paths(gap_minutes: int = SESSION_PATH_GAP_MIN,
+                      top_k: int = SESSION_PATH_TOP_K) -> str:
+    """Mirror: identical µs-gap windows, string_agg with the same
+    (us, event_id) order, same top-k cut."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > {gap_us}
+                   OR lag(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS sid
+  FROM g
+),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM s GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {int(top_k)}
+"""

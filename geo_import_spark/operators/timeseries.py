@@ -417,3 +417,204 @@ SELECT am.user_id AS user_id, dd.n AS n, am.cp_i AS cp_i,
        dd.ts_us AS cp_ts_us, am.max_dev AS max_dev
 FROM am JOIN dd ON dd.user_id = am.user_id AND dd.i = am.cp_i
 """
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (min/max/first/last per pixel bucket)
+# ---------------------------------------------------------------------------
+
+M4_BUCKET_US = 4 * US_PER_HOUR  # one "pixel column" = 4 hours
+
+
+def m4_downsample(events: DataFrame) -> DataFrame:
+    """M4 time-series downsampling per event type: for every pixel
+    bucket keep the FIRST, LAST, MIN and MAX value with their
+    timestamps — the error-free line-visualization rollup of
+    Jugel et al., "M4: A Visualization-Oriented Time Series Data
+    Aggregation" (PVLDB 7(10), 2014). Downsampling any series to
+    these four points per pixel column reproduces the exact
+    rasterized line chart.
+
+    Exactness: every output is an integer selected by min_by/max_by
+    on exact composite keys. First/last order by
+    k = us*10^12 + event_id (the ohlc_bars key, same runtime guard:
+    event_id must sit in [0, 10^12)); min/max order by
+    kv = vmi*10^28 + k so value ties break to the earliest
+    (us, event_id), identically in both engines. kv is injective
+    while vmi < 10^10 and us < 10^16 (year 2286) — both ENFORCED:
+    out-of-range rows raise instead of silently corrupting the key.
+    All keys are DECIMAL(38,0) here / HUGEINT in the mirror; no
+    doubles anywhere, so hash parity is structural.
+
+    Plan: ONE map-side-combined aggregate on the (event_type,
+    bucket) key — the whole operator is a single shuffle whose
+    output is |types| x |buckets| rows regardless of input size,
+    which is exactly why M4 is the standard 100-TB dashboard path.
+
+    Output: (event_type, bucket_id, n, t_first_us, v_first_mi,
+    t_last_us, v_last_mi, v_min_mi, t_min_us, v_max_mi, t_max_us).
+    """
+    guard_k = F.when(
+        (F.col("event_id") >= 0) & (F.col("event_id") < F.lit(10**12))
+        & (F.col("us") >= 0) & (F.col("us") < F.lit(10**16))
+        & (F.col("vmi") >= 0) & (F.col("vmi") < F.lit(10**10)),
+        F.col("us").cast("decimal(38,0)") * F.lit(1_000_000_000_000)
+        + F.col("event_id"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "m4_downsample: (event_id=%s, us=%s, vmi=%s) outside "
+                "the injective-composite-key ranges [0,10^12) / "
+                "[0,10^16) / [0,10^10)",
+                F.col("event_id"), F.col("us"), F.col("vmi"),
+            )
+        ).cast("decimal(38,0)")
+    )
+    e = events.select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi"),
+    ).select(
+        "event_type", "us", "vmi",
+        F.expr(f"us div {M4_BUCKET_US}").alias("bucket_id"),
+        guard_k.alias("k"),
+    ).select(
+        "event_type", "bucket_id", "us", "vmi", "k",
+        (F.col("vmi").cast("decimal(38,0)")
+         * F.expr("CAST('10000000000000000000000000000' AS DECIMAL(38,0))")
+         + F.col("k")).alias("kv"),
+    )
+    return e.groupBy("event_type", "bucket_id").agg(
+        F.count("*").alias("n"),
+        F.min("us").alias("t_first_us"),
+        F.min_by("vmi", "k").alias("v_first_mi"),
+        F.max("us").alias("t_last_us"),
+        F.max_by("vmi", "k").alias("v_last_mi"),
+        F.min("vmi").alias("v_min_mi"),
+        F.min_by("us", "kv").alias("t_min_us"),
+        F.max("vmi").alias("v_max_mi"),
+        F.max_by("us", "kv").alias("t_max_us"),
+    )
+
+
+SQL_M4_DOWNSAMPLE = f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {M4_BUCKET_US} AS bucket_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 1000000000000
+           + event_id AS k
+  FROM events
+), ek AS (
+  SELECT *, CAST(vmi AS HUGEINT) * 10000000000000000000000000000 + k AS kv
+  FROM e
+)
+SELECT event_type, bucket_id, count(*) AS n,
+       min(us) AS t_first_us, min_by(vmi, k) AS v_first_mi,
+       max(us) AS t_last_us, max_by(vmi, k) AS v_last_mi,
+       min(vmi) AS v_min_mi, min_by(us, kv) AS t_min_us,
+       max(vmi) AS v_max_mi, max_by(us, kv) AS t_max_us
+FROM ek GROUP BY event_type, bucket_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA (one-pole IIR filter, integer halving)
+# ---------------------------------------------------------------------------
+
+EWMA_MAX_N = 10_000  # per-series guard (see docstring)
+
+
+def ewma_scan(events: DataFrame) -> DataFrame:
+    """Per-event EWMA of each user's value series with alpha = 1/2 in
+    FIXED-POINT arithmetic — the classic DSP one-pole IIR smoother:
+    y_0 = v_0, y_i = (v_i + y_{i-1}) div 2, every y an exact BIGINT
+    of micro-units. Integer halving makes the recurrence decidable
+    identically in both engines (values are ENFORCED non-negative, so
+    truncating and flooring division coincide); no float accumulation
+    anywhere.
+
+    Plan: sequential recurrences have no closed windowed form, so the
+    scan runs JVM-side over a per-user sorted array: ONE groupBy
+    collects struct(us, event_id, vmi), array_sort orders it, and a
+    single `aggregate` higher-order function folds the halving scan —
+    no Python, no second shuffle; posexplode restores one row per
+    event. Per-user series are capped at EWMA_MAX_N (longer series
+    are dropped, mirrored in SQL — the cusum_changepoint guard
+    pattern): the array build is O(n^2) element copies per group, so
+    the cap both bounds executor memory and keeps one power-law user
+    from quadratic blowup at 100x. The DuckDB mirror runs the same
+    recurrence as a recursive CTE.
+
+    Output: (user_id, i, us, event_id, vmi, ewma_mi), i 1-based.
+    """
+    vmi_guard = F.when(
+        F.col("vmi_raw") >= 0, F.col("vmi_raw")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ewma_scan: negative value %s breaks the "
+                "floor==truncate halving identity", F.col("vmi_raw"))
+        ).cast("long")
+    )
+    e = events.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi_raw"),
+    ).select("user_id", "event_id", "us", vmi_guard.alias("vmi"))
+    seq = (
+        e.groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "vmi"))).alias("seq"))
+        .filter(F.size("seq") <= EWMA_MAX_N)
+    )
+    ys = F.aggregate(
+        F.col("seq"),
+        F.array().cast("array<bigint>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x["vmi"]).otherwise(
+                    F.shiftright(x["vmi"] + F.element_at(acc, -1), 1)
+                )
+            ),
+        ),
+    )
+    z = seq.select(
+        "user_id",
+        F.posexplode(F.arrays_zip(F.col("seq"), ys.alias("y")))
+        .alias("pos", "pair"),
+    )
+    return z.select(
+        "user_id",
+        (F.col("pos") + 1).alias("i"),
+        F.col("pair.seq.us").alias("us"),
+        F.col("pair.seq.event_id").alias("event_id"),
+        F.col("pair.seq.vmi").alias("vmi"),
+        F.col("pair.y").alias("ewma_mi"),
+    )
+
+
+SQL_EWMA_SCAN = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi
+  FROM events
+), r0 AS (
+  SELECT user_id, us, event_id, vmi,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+), cap AS (SELECT * FROM r0 WHERE n <= {EWMA_MAX_N}),
+rec AS (
+  SELECT user_id, i, us, event_id, vmi, vmi AS ewma_mi
+  FROM cap WHERE i = 1
+  UNION ALL
+  SELECT c.user_id, c.i, c.us, c.event_id, c.vmi,
+         (c.vmi + rec.ewma_mi) // 2
+  FROM cap c JOIN rec
+    ON c.user_id = rec.user_id AND c.i = rec.i + 1
+)
+SELECT user_id, i, us, event_id, vmi, ewma_mi FROM rec
+"""
