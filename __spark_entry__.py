@@ -125,6 +125,18 @@ def _sql_session_paths() -> str:
     return sql_session_paths()
 
 
+def _sql_interval_coverage() -> str:
+    from geo_import_spark.operators.temporal import SQL_INTERVAL_COVERAGE
+
+    return SQL_INTERVAL_COVERAGE
+
+
+def _sql_seasonal_profile() -> str:
+    from geo_import_spark.operators.temporal import SQL_SEASONAL_PROFILE
+
+    return SQL_SEASONAL_PROFILE
+
+
 def _sql_skyline_parts() -> str:
     from geo_import_spark.operators.ranking import SQL_SKYLINE_PARTS
 
@@ -2130,6 +2142,24 @@ def _session_paths(spark, sf_dir):
     return temporal.session_paths(_events(spark, sf_dir))
 
 
+def _interval_coverage(spark, sf_dir):
+    """Overlapping-interval union time per user via gaps-and-islands
+    — exact int64 µs, one user exchange for both windows and both
+    rollups, no interval self-join."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.interval_coverage(_events(spark, sf_dir))
+
+
+def _seasonal_profile(spark, sf_dir):
+    """Seasonal load profile per (type, day-of-week, hour-of-day) —
+    integer epoch-µs calendar arithmetic, one map-side-combined
+    aggregate onto a <=|types|x168-row frame."""
+    from geo_import_spark.operators import temporal
+
+    return temporal.seasonal_profile(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -2355,6 +2385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _link_prediction,
         "line_densify": _line_densify,
         "session_paths": _session_paths,
+        "interval_coverage": _interval_coverage,
+        "seasonal_profile": _seasonal_profile,
     }
 
 
@@ -3136,4 +3168,6 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "link_prediction": graphmod.sql_link_prediction(),
         "line_densify": _sql_line_densify(),
         "session_paths": _sql_session_paths(),
+        "interval_coverage": _sql_interval_coverage(),
+        "seasonal_profile": _sql_seasonal_profile(),
     }

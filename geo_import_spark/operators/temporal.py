@@ -408,3 +408,157 @@ FROM p GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {int(top_k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval coverage (gaps-and-islands union length per user)
+# ---------------------------------------------------------------------------
+
+
+def interval_coverage(events: DataFrame) -> DataFrame:
+    """Total covered time per user when every event opens an interval
+    [us, us + vmi] (duration = the event's value in micro-units,
+    deterministic from the corpus) — the classic overlapping-interval
+    union via gaps-and-islands: a new island starts when an interval
+    begins after the running max end of everything before it; each
+    island contributes max(end) - min(start).
+
+    Exactness: starts/ends/durations are exact int64 µs; island
+    detection is an integer comparison and the covered sum an integer
+    aggregate — no floats anywhere, hash parity structural.
+
+    Plan: ONE user_id exchange carries both windows (running max end
+    over the preceding frame + running island-id sum) and the two
+    groupBys that follow (island rollup, user rollup) — the
+    walk_staypoints single-exchange shape. No joins, no self-join on
+    intervals (the O(n^2) naive overlap test this formulation
+    replaces at scale).
+
+    Output: (user_id, n_intervals, n_islands, covered_us).
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    e = events.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + F.floor(F.col("value") * 1_000_000).cast("long")).alias("end_us"),
+    )
+    isl = (
+        e.withColumn("prev_max_end", F.max("end_us").over(wprev))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("us") > F.col("prev_max_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(w))
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("end_us") - F.min("us")).alias("len_us"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_iv").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len_us").alias("covered_us"),
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           + CAST(floor(value * 1000000) AS BIGINT) AS end_us
+  FROM events
+),
+g AS (
+  SELECT *,
+         MAX(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max_end
+  FROM e
+),
+h AS (
+  SELECT *, CASE WHEN prev_max_end IS NULL OR us > prev_max_end
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS island
+  FROM h
+),
+pi AS (
+  SELECT user_id, island, COUNT(*) AS n_iv,
+         MAX(end_us) - MIN(us) AS len_us
+  FROM s GROUP BY user_id, island
+)
+SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands, CAST(SUM(len_us) AS BIGINT) AS covered_us
+FROM pi GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal load profile (day-of-week x hour-of-day)
+# ---------------------------------------------------------------------------
+
+US_PER_HOUR_T = 3_600_000_000
+US_PER_DAY_T = 86_400_000_000
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Per-type seasonal load profile: event count, exact micro-unit
+    value sum, and mean per (event_type, day-of-week, hour-of-day) —
+    the seasonal-naive baseline a forecasting pipeline subtracts
+    before anomaly scoring.
+
+    dow/hod derive from epoch µs by integer arithmetic (epoch day 0
+    = Thursday, so dow = (days + 3) % 7 with Monday = 0), identical
+    in both engines — no timezone/calendar library in the loop. The
+    mean is the single closing double division.
+
+    Plan: one map-side-combined aggregate on a <= |types|*168-value
+    key; output dimension-sized at any input scale.
+
+    Output: (event_type, dow, hod, n, sum_mi, mean_mi).
+    """
+    e = events.select(
+        "event_type",
+        ((F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY_T}")
+          + 3) % 7).alias("dow"),
+        (F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_HOUR_T}")
+         % 24).alias("hod"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi"),
+    )
+    agg = e.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vmi").alias("sum_mi"),
+    )
+    return agg.select(
+        "event_type", "dow", "hod", "n", "sum_mi",
+        (F.col("sum_mi").cast("double") / F.col("n").cast("double"))
+        .alias("mean_mi"),
+    )
+
+
+SQL_SEASONAL_PROFILE = f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {US_PER_DAY_T} + 3) % 7 AS dow,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {US_PER_HOUR_T} % 24 AS hod,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi
+  FROM events
+),
+agg AS (
+  SELECT event_type, dow, hod, COUNT(*) AS n,
+         CAST(SUM(vmi) AS BIGINT) AS sum_mi
+  FROM e GROUP BY event_type, dow, hod
+)
+SELECT event_type, dow, hod, n, sum_mi,
+       CAST(sum_mi AS DOUBLE) / CAST(n AS DOUBLE) AS mean_mi
+FROM agg
+"""

@@ -271,3 +271,69 @@ def test_session_paths_single_user_exchange(spark, sf_dir):
     p = _plan(spark, sf_dir, "session_paths")
     assert len(re.findall(r"hashpartitioning\(user_id", p)) <= 1
     assert "Python" not in p
+
+
+# --- interval_coverage -----------------------------------------------------
+
+
+def test_interval_coverage_matches_bruteforce(events):
+    got = {r.user_id: r for r in temporal.interval_coverage(events).collect()}
+    raw = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi"),
+    ).collect()
+    series = {}
+    for r in raw:
+        series.setdefault(r.user_id, []).append((r.us, r.us + r.vmi))
+    for uid, ivs in series.items():
+        ivs.sort()
+        islands, cur_s, cur_e = [], None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append(cur_e - cur_s)
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append(cur_e - cur_s)
+        g = got[uid]
+        assert g.n_intervals == len(ivs)
+        assert g.n_islands == len(islands)
+        assert g.covered_us == sum(islands)
+
+
+def test_interval_coverage_single_user_exchange(spark, sf_dir):
+    p = _plan(spark, sf_dir, "interval_coverage")
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) <= 1
+    assert "Python" not in p
+
+
+# --- seasonal_profile ------------------------------------------------------
+
+
+def test_seasonal_profile_invariants(events):
+    rows = temporal.seasonal_profile(events).collect()
+    assert rows
+    assert len(rows) <= 5 * 7 * 24  # types x dow x hod bound
+    assert sum(r.n for r in rows) == events.count()
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+        assert r.mean_mi == r.sum_mi / r.n
+
+
+def test_seasonal_profile_dow_matches_calendar(spark):
+    # 2024-01-01 was a Monday => dow 0 with the (days+3)%7 rule
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 7, "x", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = temporal.seasonal_profile(one).collect()[0]
+    assert (r.dow, r.hod) == (0, 5)
+
+
+def test_seasonal_profile_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "seasonal_profile")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Python" not in p
