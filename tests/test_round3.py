@@ -78,14 +78,21 @@ def test_auto_plan_selection(docs, spark, sf_dir):
 def test_no_persisted_rdds_after_shuffle_pip(docs, spark, sf_dir):
     """VERDICT r2 #7: the shuffle PIP path must not leak persisted
     RDDs (the old implementation persisted the cover and never
-    unpersisted it)."""
+    unpersisted it). Directional check (after <= before): earlier
+    modules' dead cached frames can be GC-unpersisted at any moment
+    during this test, so an equality assert flakes on GC timing —
+    only an INCREASE would be this operator's leak."""
+    import gc
+
     points = geojson.point_spans(docs)
     polys = corpus.polygons(spark, sf_dir)
+    gc.collect()
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     n = pipmod.pip_join(points, polys, broadcast_polys=False).count()
     assert n > 0
+    gc.collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before
+    assert after <= before
 
 
 def test_duplicate_clusters_transitive_chain(spark):
