@@ -218,3 +218,56 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_seq
 """
+
+
+def m4_windowed(events: DataFrame, width: str = "4 hours") -> DataFrame:
+    """Streaming twin of timeseries.m4_downsample: the M4
+    first/last/min/max rollup per (event_type, tumbling window) in
+    the groupBy(window(...)) form that runs identically under
+    readStream — M4's four extremes are classic MERGEABLE aggregate
+    state (min/max/min_by/max_by over the same composite integer
+    keys), so micro-batch partial states combine into exactly the
+    batch answer; the batch-vs-incremental equality is asserted in
+    tests/test_streaming_m4.py.
+
+    Streaming form: `events.withWatermark('ts', ...)` then this
+    aggregation in append mode (finalized windows only) or complete
+    mode for a live dashboard. Values/keys follow m4_downsample's
+    exact-integer discipline (micro-units, us*10^12+event_id,
+    vmi*10^28+k) — see that docstring for the injectivity ranges.
+
+    Output: (event_type, win_start, n, t_first_us, v_first_mi,
+    t_last_us, v_last_mi, v_min_mi, t_min_us, v_max_mi, t_max_us).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    vmi = F.floor(F.col("value") * 1_000_000).cast("long")
+    e = events.select(
+        "event_type", "ts",
+        us.alias("us"), vmi.alias("vmi"),
+        (us.cast("decimal(38,0)") * F.lit(1_000_000_000_000)
+         + F.col("event_id")).alias("k"),
+    ).select(
+        "event_type", "ts", "us", "vmi", "k",
+        (F.col("vmi").cast("decimal(38,0)")
+         * F.expr("CAST('10000000000000000000000000000' AS DECIMAL(38,0))")
+         + F.col("k")).alias("kv"),
+    )
+    return (
+        e.groupBy("event_type", F.window("ts", width).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("us").alias("t_first_us"),
+            F.min_by("vmi", "k").alias("v_first_mi"),
+            F.max("us").alias("t_last_us"),
+            F.max_by("vmi", "k").alias("v_last_mi"),
+            F.min("vmi").alias("v_min_mi"),
+            F.min_by("us", "kv").alias("t_min_us"),
+            F.max("vmi").alias("v_max_mi"),
+            F.max_by("us", "kv").alias("t_max_us"),
+        )
+        .select(
+            "event_type", F.col("win.start").alias("win_start"),
+            "n", "t_first_us", "v_first_mi", "t_last_us", "v_last_mi",
+            "v_min_mi", "t_min_us", "v_max_mi", "t_max_us",
+        )
+    )
