@@ -791,15 +791,21 @@ def link_prediction(lineitem: DataFrame,
     middle vertex (u < w halves the pairs), a map-side-combined
     count on the pair key, a LEFT ANTI join against the existing
     edges, two broadcast-sized degree joins, and a TakeOrdered
-    top-k. The deterministic hash sparsification (_part_edges_sparse)
-    bounds the max degree, which bounds the wedge fan-out — the same
-    reason triangle_count stays feasible; at 100x a per-node top-d
-    neighbor cap before the wedge join is the documented knob.
+    top-k. The sparsified edge list is lineage-pinned
+    (localCheckpoint, the local_clustering pattern) so its six
+    consumers share ONE lineitem pass instead of re-expanding the
+    distinct+self-join subtree per reference. The deterministic hash
+    sparsification (_part_edges_sparse) bounds the max degree, which
+    bounds the wedge fan-out — the same reason triangle_count stays
+    feasible; at 100x a per-node top-d neighbor cap before the wedge
+    join is the documented knob.
 
     Output: (u, w, cn, deg_u, deg_w, jaccard), top_k by
     (jaccard DESC, u, w).
     """
-    edges = _part_edges_sparse(lineitem, sparsify=sparsify)
+    edges = _part_edges_sparse(lineitem, sparsify=sparsify).localCheckpoint(
+        eager=False
+    )
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -831,13 +831,17 @@ def getis_ord(points: DataFrame) -> DataFrame:
     Plan: the local_morans shapes — one grid shuffle, a broadcast
     1-row scalar frame (T, n, Q), the 9-offset EQUI-join (queen +
     self, never a distance cross join), one groupBy on the cell key.
-    Everything after the first aggregate is dimension-sized
-    (occupied cells), so the operator costs one point-table pass at
-    any scale.
+    The occupied-cell histogram is lineage-pinned (localCheckpoint,
+    the tile_pyramid pattern) so its four consumers (tot, contrib,
+    hood, out) share ONE point-table pass instead of re-expanding
+    the scan — everything after it is dimension-sized at any scale.
 
     Output: (x, y, cnt, w_i, l_i, z, label).
     """
-    g = _grid_xy(points).groupBy("x", "y").agg(F.count("*").alias("n"))
+    g = (
+        _grid_xy(points).groupBy("x", "y").agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = g.agg(
         F.sum("n").alias("total"),
         F.count(F.lit(1)).alias("n_cells"),

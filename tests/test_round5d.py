@@ -337,3 +337,32 @@ def test_seasonal_profile_single_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "seasonal_profile")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Python" not in p
+
+
+# --- plan pins for the lineage-checkpointed frames -------------------------
+
+
+def test_getis_ord_single_point_pass(spark, sf_dir):
+    # the occupied-cell histogram is lineage-pinned: the final plan
+    # contains NO parquet scans (the single point pass ran at
+    # checkpoint creation) and only the grid + hood exchanges
+    p = _plan(spark, sf_dir, "getis_ord")
+    assert len(re.findall(r"Scan parquet", p)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "Python" not in p
+
+
+def test_link_prediction_single_lineitem_pass(spark, sf_dir):
+    # the sparsified edge list is lineage-pinned: its six consumers
+    # must not re-expand the distinct+self-join subtree (36 scans
+    # before the pin; 0 after)
+    p = _plan(spark, sf_dir, "link_prediction")
+    assert len(re.findall(r"Scan parquet", p)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 10
+    assert "Python" not in p
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "ewma_scan")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Python" not in p
