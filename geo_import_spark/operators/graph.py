@@ -770,11 +770,13 @@ GROUP BY e.src HAVING COUNT(*) >= {int(k)}
 # ---------------------------------------------------------------------------
 
 LINKPRED_TOP_K = 200
+LINKPRED_MAX_MID_DEG = 100_000  # wedge-middle degree guard (see doc)
 
 
 def link_prediction(lineitem: DataFrame,
                     top_k: int = LINKPRED_TOP_K,
-                    sparsify: int = KCORE_SPARSIFY) -> DataFrame:
+                    sparsify: int = KCORE_SPARSIFY,
+                    max_mid_deg: int = LINKPRED_MAX_MID_DEG) -> DataFrame:
     """Top-k predicted links on the sparsified part co-order graph
     (the k_core edge set): for every NON-adjacent 2-hop pair (u, w),
     cn = |N(u) ∩ N(w)| and the Jaccard coefficient
@@ -795,10 +797,14 @@ def link_prediction(lineitem: DataFrame,
     (localCheckpoint, the local_clustering pattern) so its six
     consumers share ONE lineitem pass instead of re-expanding the
     distinct+self-join subtree per reference. The deterministic hash
-    sparsification (_part_edges_sparse) bounds the max degree, which
-    bounds the wedge fan-out — the same reason triangle_count stays
-    feasible; at 100x a per-node top-d neighbor cap before the wedge
-    join is the documented knob.
+    sparsification (_part_edges_sparse) bounds the typical degree;
+    the wedge fan-out is additionally ENFORCED bounded: middles with
+    degree > max_mid_deg are excluded via one broadcast-sized
+    anti-join (a single celebrity hub contributes O(deg^2) wedge
+    pairs, the classic quadratic skew bomb — dropping it is the
+    standard common-neighbor practice because a hub's co-neighbors
+    say little anyway). The cap never triggers on the sparsified
+    corpus (hash-parity preserved); the planted test exercises it.
 
     Output: (u, w, cn, deg_u, deg_w, jaccard), top_k by
     (jaccard DESC, u, w).
@@ -810,10 +816,14 @@ def link_prediction(lineitem: DataFrame,
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hot = deg.filter(F.col("deg") > int(max_mid_deg)).select(
+        F.col("src").alias("m")
+    )
     wedge_l = und.select(F.col("dst").alias("m"), F.col("src").alias("u"))
     wedge_r = und.select(F.col("src").alias("m"), F.col("dst").alias("w"))
     pairs = (
-        wedge_l.join(wedge_r, "m")
+        wedge_l.join(F.broadcast(hot), "m", "left_anti")
+        .join(wedge_r, "m")
         .filter(F.col("u") < F.col("w"))
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("cn"))

@@ -313,11 +313,13 @@ GROUP BY 1, 2, 3
 
 SESSION_PATH_GAP_MIN = 30
 SESSION_PATH_TOP_K = 50
+SESSION_PATH_MAX_LEN = 5_000  # per-session guard (see docstring)
 
 
 def session_paths(events: DataFrame,
                   gap_minutes: int = SESSION_PATH_GAP_MIN,
-                  top_k: int = SESSION_PATH_TOP_K) -> DataFrame:
+                  top_k: int = SESSION_PATH_TOP_K,
+                  max_len: int = SESSION_PATH_MAX_LEN) -> DataFrame:
     """Top-k most frequent event-type paths across gap-based
     sessions — the clickstream "common journeys" rollup: each
     session's events in (us, event_id) order join into a '>'-
@@ -333,10 +335,10 @@ def session_paths(events: DataFrame,
     running session id); the path build is a groupBy on (user_id,
     session) whose collect_list is bounded by session length; the
     final count is map-side combined on the path key and TakeOrdered
-    cuts top-k. No joins, no data-sized driver state. At 100x a
-    session-length cap (the ewma_scan guard pattern) bounds the
-    per-group array; paths beyond the corpus' bounded sessions would
-    add it.
+    cuts top-k. No joins, no data-sized driver state. Sessions
+    longer than max_len are DROPPED before the array build (the
+    ewma_scan/cusum guard, mirrored in SQL) — a bot session with
+    millions of events can't blow the per-group array at 100x.
 
     Output: (path, n_sessions, n_users), top_k by
     (n_sessions DESC, path).
@@ -348,9 +350,18 @@ def session_paths(events: DataFrame,
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     gap = F.col("us") - F.lag("us").over(w)
-    sess = e.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
-    ).withColumn("sid", F.sum("is_new").over(w))
+    wlen = Window.partitionBy("user_id", "sid")
+    sess = (
+        e.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+        )
+        .withColumn("sid", F.sum("is_new").over(w))
+        # guard BEFORE the array build: oversized sessions never
+        # reach collect_list, so the cap bounds executor memory,
+        # not just the output
+        .withColumn("sess_n", F.count(F.lit(1)).over(wlen))
+        .filter(F.col("sess_n") <= int(max_len))
+    )
     paths = (
         sess.groupBy("user_id", "sid")
         .agg(F.array_sort(
@@ -375,9 +386,11 @@ def session_paths(events: DataFrame,
 
 
 def sql_session_paths(gap_minutes: int = SESSION_PATH_GAP_MIN,
-                      top_k: int = SESSION_PATH_TOP_K) -> str:
-    """Mirror: identical µs-gap windows, string_agg with the same
-    (us, event_id) order, same top-k cut."""
+                      top_k: int = SESSION_PATH_TOP_K,
+                      max_len: int = SESSION_PATH_MAX_LEN) -> str:
+    """Mirror: identical µs-gap windows, the same pre-aggregation
+    session-length cap, string_agg with the same (us, event_id)
+    order, same top-k cut."""
     gap_us = int(gap_minutes) * 60 * 1_000_000
     return f"""
 WITH e AS (
@@ -397,10 +410,14 @@ s AS (
                               ORDER BY us, event_id) AS sid
   FROM g
 ),
+sc AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, sid) AS sess_n
+  FROM s
+),
 p AS (
   SELECT user_id, sid,
          string_agg(event_type, '>' ORDER BY us, event_id) AS path
-  FROM s GROUP BY user_id, sid
+  FROM sc WHERE sess_n <= {int(max_len)} GROUP BY user_id, sid
 )
 SELECT path, COUNT(*) AS n_sessions,
        COUNT(DISTINCT user_id) AS n_users

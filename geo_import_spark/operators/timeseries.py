@@ -562,11 +562,17 @@ def ewma_scan(events: DataFrame) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.floor(F.col("value") * 1_000_000).cast("long").alias("vmi_raw"),
     ).select("user_id", "event_id", "us", vmi_guard.alias("vmi"))
+    # guard BEFORE the array build (the count window shares the
+    # groupBy's user_id partitioning — no extra exchange): an
+    # oversized series never reaches collect_list, so EWMA_MAX_N
+    # bounds executor memory, not just the output
+    wa = Window.partitionBy("user_id")
     seq = (
-        e.groupBy("user_id")
+        e.withColumn("n", F.count(F.lit(1)).over(wa))
+        .filter(F.col("n") <= EWMA_MAX_N)
+        .groupBy("user_id")
         .agg(F.array_sort(
             F.collect_list(F.struct("us", "event_id", "vmi"))).alias("seq"))
-        .filter(F.size("seq") <= EWMA_MAX_N)
     )
     ys = F.aggregate(
         F.col("seq"),

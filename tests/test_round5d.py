@@ -366,3 +366,59 @@ def test_ewma_single_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "ewma_scan")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Python" not in p
+
+
+# --- enforced scale guards -------------------------------------------------
+
+
+def test_session_paths_drops_oversized_sessions(spark):
+    # two users: one 3-event session, one 5-event session; with
+    # max_len=4 the long session must vanish BEFORE the path build
+    rows = []
+    for i in range(3):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "a", 1.0, "{}"))
+    for i in range(5):
+        rows.append((10 + i, f"2024-01-01 00:{i:02d}:00", 2, "b", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = temporal.session_paths(ev, max_len=4).collect()
+    assert {r.path for r in got} == {"a>a>a"}
+    full = temporal.session_paths(ev, max_len=5).collect()
+    assert {r.path for r in full} == {"a>a>a", "b>b>b>b>b"}
+
+
+def test_ewma_drops_oversized_series(spark, monkeypatch):
+    from geo_import_spark.operators import timeseries as ts
+
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 1, "a", 1.0, "{}")
+            for i in range(5)]
+    rows += [(10, "2024-01-01 00:00:00", 2, "a", 1.0, "{}")]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(ts, "EWMA_MAX_N", 4)
+    got = ts.ewma_scan(ev).collect()
+    assert {r.user_id for r in got} == {2}
+
+
+def test_link_prediction_hub_middle_is_excluded(spark):
+    # star graph: hub 1 connects to 2..6; every leaf pair is a
+    # 2-hop candidate THROUGH the hub. With max_mid_deg below the
+    # hub degree, all wedges die -> zero predictions; with a high
+    # cap the C(5,2)=10 leaf pairs appear.
+    rows = [(i, 1) for i in range(2, 7)]
+    li = spark.createDataFrame(
+        [(o, p) for o, hub in rows for p in (hub, o + 100)],
+        "l_orderkey long, l_partkey long",
+    )
+    # orders o=2..6 each contain parts {1, o+100}: hub part 1 has
+    # degree 5, leaves degree 1
+    full = graphmod.link_prediction(li, sparsify=1, max_mid_deg=10**6)
+    assert full.count() == 10
+    capped = graphmod.link_prediction(li, sparsify=1, max_mid_deg=4)
+    assert capped.count() == 0
