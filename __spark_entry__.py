@@ -2160,6 +2160,21 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _m4_windowed(spark, sf_dir):
+    """Streaming-form M4 rollup (groupBy(window(...))): identical
+    extremes as m4_downsample keyed by the tumbling-window start —
+    the plan that runs unchanged under readStream (incremental-merge
+    parity in test_streaming_m4). win_start crosses engines as epoch
+    µs."""
+    out = eventsmod.m4_windowed(_events(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("win_start").cast("timestamp")).alias("win_us"),
+        "n", "t_first_us", "v_first_mi", "t_last_us", "v_last_mi",
+        "v_min_mi", "t_min_us", "v_max_mi", "t_max_us",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: which documents fall
     inside which polygon layer (PIP join + layer metadata)."""
@@ -2387,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _session_paths,
         "interval_coverage": _interval_coverage,
         "seasonal_profile": _seasonal_profile,
+        "m4_windowed": _m4_windowed,
     }
 
 
@@ -3170,4 +3186,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "session_paths": _sql_session_paths(),
         "interval_coverage": _sql_interval_coverage(),
         "seasonal_profile": _sql_seasonal_profile(),
+        "m4_windowed": eventsmod.sql_m4_windowed(),
     }

@@ -271,3 +271,32 @@ def m4_windowed(events: DataFrame, width: str = "4 hours") -> DataFrame:
             "v_min_mi", "t_min_us", "v_max_mi", "t_max_us",
         )
     )
+
+
+def sql_m4_windowed() -> str:
+    """Mirror of m4_windowed: SQL_M4_DOWNSAMPLE's aggregation with
+    the bucket key emitted as the window-start epoch µs (Spark
+    tumbling windows align to the epoch, so win_us = bucket * width)."""
+    from geo_import_spark.operators.timeseries import M4_BUCKET_US
+
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {M4_BUCKET_US}
+           * {M4_BUCKET_US} AS win_us,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmi,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 1000000000000
+           + event_id AS k
+  FROM events
+), ek AS (
+  SELECT *, CAST(vmi AS HUGEINT) * 10000000000000000000000000000 + k AS kv
+  FROM e
+)
+SELECT event_type, win_us, count(*) AS n,
+       min(us) AS t_first_us, min_by(vmi, k) AS v_first_mi,
+       max(us) AS t_last_us, max_by(vmi, k) AS v_last_mi,
+       min(vmi) AS v_min_mi, min_by(us, kv) AS t_min_us,
+       max(vmi) AS v_max_mi, max_by(us, kv) AS t_max_us
+FROM ek GROUP BY event_type, win_us
+"""
