@@ -2160,6 +2160,66 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _matryoshka_recall(spark, sf_dir):
+    """Matryoshka prefix-truncation retrieval evaluation: per-query
+    overlap between the full-dim cosine top-k and each truncated-dim
+    top-k — broadcast cosine passes, exact-integer output."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.matryoshka_recall(
+        emb, n_queries=ANN_QUERIES, k=ANN_K
+    )
+
+
+def _parse_wkt(spark, sf_dir):
+    """WKT decoder end-to-end: LINESTRING/POINT strings built from
+    the exact-integer segment corpus (string concat of BIGINTs — no
+    float formatting on either engine), parsed by the vectorized WKT
+    pandas UDF, endpoints re-emitted as exact BIGINTs. The oracle
+    recomputes the expected endpoints directly from the segment
+    formula, so a parser regression breaks the hash."""
+    from geo_import_spark.sources import wkt as wktmod
+
+    segs = corpus.line_segments_a(spark, sf_dir)
+    docs = segs.select(
+        F.col("line_id").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                F.concat(
+                    F.lit("LINESTRING ("),
+                    F.col("x1").cast("string"), F.lit(" "),
+                    F.col("y1").cast("string"), F.lit(", "),
+                    F.col("x2").cast("string"), F.lit(" "),
+                    F.col("y2").cast("string"), F.lit(")"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    parsed = wktmod.wkt_spans(docs)
+    g = F.col("geom")
+    return parsed.select(
+        "doc_id",
+        g["gtype"].alias("gtype"),
+        F.size(g["xs"]).alias("nv"),
+        F.element_at(g["xs"], 1).cast("long").alias("x1"),
+        F.element_at(g["ys"], 1).cast("long").alias("y1"),
+        F.element_at(g["xs"], -1).cast("long").alias("x2"),
+        F.element_at(g["ys"], -1).cast("long").alias("y2"),
+        "error",
+    )
+
+
+def _sql_parse_wkt() -> str:
+    return f"""
+WITH seg AS ({corpus.SQL_SEGMENTS_A})
+SELECT line_id AS doc_id, 'LineString' AS gtype, 2 AS nv,
+       x1, y1, x2, y2, CAST(NULL AS VARCHAR) AS error
+FROM seg
+"""
+
+
 def _m4_windowed(spark, sf_dir):
     """Streaming-form M4 rollup (groupBy(window(...))): identical
     extremes as m4_downsample keyed by the tumbling-window start —
@@ -2403,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": _interval_coverage,
         "seasonal_profile": _seasonal_profile,
         "m4_windowed": _m4_windowed,
+        "parse_wkt": _parse_wkt,
+        "matryoshka_recall": _matryoshka_recall,
     }
 
 
@@ -3187,4 +3249,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "interval_coverage": _sql_interval_coverage(),
         "seasonal_profile": _sql_seasonal_profile(),
         "m4_windowed": eventsmod.sql_m4_windowed(),
+        "parse_wkt": _sql_parse_wkt(),
+        "matryoshka_recall": similarity.sql_matryoshka_recall(
+            n_queries=ANN_QUERIES, k=ANN_K
+        ),
     }

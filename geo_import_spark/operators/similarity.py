@@ -1151,3 +1151,125 @@ SELECT query_id, vec_id, rank FROM (
   FROM cand WHERE cos < {{hi}}
 ) WHERE rank <= {{k}}
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (recall of prefix-dim retrieval)
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al.,
+    NeurIPS'22): how much of the full-dimension cosine top-k each
+    PREFIX truncation recovers — the measurement that decides how
+    far a deployment can shrink its vectors before retrieval decays.
+
+    For every truncation width d: top-k by cosine over v[1..d],
+    inner-joined against the full-DIM top-k per query; n_overlap is
+    the per-query intersection size (exact integer; queries with an
+    empty intersection are kept at 0 via a LEFT join from the query
+    list, so the frame is always |dims| x n_queries rows).
+
+    Determinism: every cosine is the same left-fold dot product the
+    ANN family uses (identical association order in both engines),
+    ranks break ties by vec_id, and the output is pure integer —
+    hash parity is structural.
+
+    Plan: one broadcast cosine pass per width (the cosine_topk
+    shape: queries broadcast, corpus never shuffles) + k-row-sized
+    joins; the at-scale path swaps each brute pass for the LSH/IVF
+    variants without touching the evaluation join.
+
+    Zero-norm PREFIXES are a real edge a valid full vector can
+    produce (all-zero leading dims): those rows are dropped from
+    that width's candidate pool before the cosine (mirroring what a
+    vector index does with unindexable rows) rather than tripping
+    ANSI divide-by-zero.
+
+    Output: (trunc_dim, query_id, n_overlap).
+    """
+    full = cosine_topk(embeddings, n_queries, k)
+    qids = full.select("query_id").distinct()
+    outs = []
+    for d in dims:
+        sl = F.slice(_dvec(F.col("embedding")), 1, int(d))
+        trunc = embeddings.select(
+            "vec_id", sl.alias("embedding")
+        ).filter(_dot(F.col("embedding"), F.col("embedding")) > 0)
+        td = cosine_topk(trunc, n_queries, k)
+        ov = (
+            full.join(td, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        outs.append(
+            qids.join(ov, "query_id", "left").select(
+                F.lit(int(d)).alias("trunc_dim"),
+                "query_id",
+                F.coalesce("n_overlap", F.lit(0)).cast("long")
+                .alias("n_overlap"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_matryoshka_recall(
+    n_queries: int = 10, k: int = 10,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+) -> str:
+    """Mirror: the SQL_COSINE_TOPK CTE once at full DIM and once per
+    truncation width, identical join + zero-fill."""
+    def topk_cte(tag: str, d: int) -> str:
+        nrm = (f"list_sum(list_transform(range(1, {d + 1}),"
+               " i -> v[i] * v[i])) > 0")
+        return f"""
+{tag}_e AS (SELECT * FROM e WHERE {nrm}),
+{tag}_q AS (SELECT vec_id AS query_id, v AS qv FROM {tag}_e
+            WHERE vec_id < {n_queries}),
+{tag}_cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {d + 1}), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, {d + 1}), i -> qv[i] * qv[i])))
+              * sqrt(list_sum(list_transform(range(1, {d + 1}), i -> v[i] * v[i])))) AS cos
+  FROM {tag}_e e CROSS JOIN {tag}_q q
+),
+{tag}_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM {tag}_cand
+  ) WHERE rank <= {k}
+)"""
+
+    ctes = [topk_cte("full", DIM)]
+    selects = []
+    for d in dims:
+        ctes.append(topk_cte(f"t{d}", int(d)))
+        selects.append(f"""
+SELECT {int(d)} AS trunc_dim, q.query_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap
+FROM q LEFT JOIN (
+  SELECT f.query_id, count(*) AS n_overlap
+  FROM full_top f JOIN t{int(d)}_top t
+    ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+  GROUP BY f.query_id
+) ov ON ov.query_id = q.query_id""")
+    body = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+{body}
+{union}
+"""

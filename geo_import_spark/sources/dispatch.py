@@ -22,6 +22,8 @@ CONTENT_TYPES = {
     "application/vnd.google-earth.kmz": "kmz",
     "application/zip": "shapefile",
     "application/octet-stream": "shapefile",
+    # engine extension: WKT text (PostGIS ST_AsText interchange)
+    "text/vnd.wkt": "wkt",
 }
 
 EXTENSIONS = {
@@ -30,6 +32,7 @@ EXTENSIONS = {
     ".kml": "kml",
     ".kmz": "kmz",
     ".zip": "shapefile",
+    ".wkt": "wkt",
 }
 
 
@@ -52,7 +55,7 @@ def decode_geometry_spans(documents: DataFrame, format_col: str = "format") -> D
     """documents with a per-document `format` column -> unified parsed
     features (doc_id, span_offset, geom, properties, props, crs,
     error), one decoder per format subset, unioned."""
-    from geo_import_spark.sources import geojson, kml, shapefile
+    from geo_import_spark.sources import geojson, kml, shapefile, wkt
 
     s = documents.select(
         "doc_id", F.col(format_col).alias("_fmt"), F.explode("spans").alias("span")
@@ -80,22 +83,24 @@ def decode_geometry_spans(documents: DataFrame, format_col: str = "format") -> D
         "kmz": kml.make_kml_features_udf(kmz=True),
         "shapefile": shapefile.make_shapefile_features_udf(),
     }
-    gj = s.filter(F.col("_fmt") == "geojson")
-    parts.append(
-        gj.select(
-            "doc_id",
-            F.col("span.offset").alias("span_offset"),
-            geojson.parse_feature(F.col("span.text")).alias("f"),
-        ).select(
-            "doc_id",
-            "span_offset",
-            F.col("f.geom").alias("geom"),
-            F.col("f.properties").alias("properties"),
-            F.col("f.props").alias("props"),
-            F.col("f.crs").alias("crs"),
-            F.col("f.error").alias("error"),
+    for fmt, scalar_udf in (("geojson", geojson.parse_feature),
+                            ("wkt", wkt.parse_wkt)):
+        gj = s.filter(F.col("_fmt") == fmt)
+        parts.append(
+            gj.select(
+                "doc_id",
+                F.col("span.offset").alias("span_offset"),
+                scalar_udf(F.col("span.text")).alias("f"),
+            ).select(
+                "doc_id",
+                "span_offset",
+                F.col("f.geom").alias("geom"),
+                F.col("f.properties").alias("properties"),
+                F.col("f.props").alias("props"),
+                F.col("f.crs").alias("crs"),
+                F.col("f.error").alias("error"),
+            )
         )
-    )
     for fmt, udf in routes.items():
         parts.append(unpack(s.filter(F.col("_fmt") == fmt), udf))
     out = parts[0]
