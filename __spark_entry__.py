@@ -2160,6 +2160,65 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _segment_raster_cells(spark, sf_dir):
+    """Exact segment supercover: the grid cells each line-layer-A
+    segment actually crosses (bbox-cover candidates decided by the
+    shared integer CLRS edge predicates) — zero joins, zero
+    shuffles, whole-stage codegen."""
+    return linejoin.segment_raster_cells(
+        corpus.line_segments_a(spark, sf_dir)
+    )
+
+
+def _areal_weights(spark, sf_dir):
+    """Areal interpolation (the dasymetric reallocation step): each
+    source zone's value spreads over the target rectangles
+    proportionally to exact intersection area — w = cross2 / tot2
+    where tot2 is the source's covered total, so mass is conserved
+    exactly over the emitted pairs. Pure composition of overlay_join
+    + one subject-keyed aggregate; value is hash28-derived
+    (rehash-stable in both engines), w is ONE double division of
+    exact BIGINTs, contrib_num = value*cross2 stays integer (the
+    per-target rollup at scale is a groupBy over doubles — tolerance
+    territory, which is why the hash-checked unit is the pair
+    frame). tot2 headroom: cross2 <= ~5e12 on the corpus lattice x
+    10^4 covering pairs per subject clears int64 with 100x margin.
+
+    Output: (clip_id, subject_id, cross2, tot2, value, w,
+    contrib_num)."""
+    from geo_import_spark.operators import overlay as overlaymod
+    from geo_import_spark.operators.textops import hash28
+
+    rect = corpus.polygons(spark, sf_dir)
+    lp = corpus.concave_polygons(spark, sf_dir)
+    pairs = overlaymod.overlay_join(rect, lp)
+    tot = pairs.groupBy("subject_id").agg(F.sum("cross2").alias("tot2"))
+    val = hash28(F.col("subject_id")) % 1000 + 100
+    return pairs.join(tot, "subject_id").select(
+        "clip_id", "subject_id", "cross2", "tot2",
+        val.alias("value"),
+        (F.col("cross2").cast("double") / F.col("tot2").cast("double"))
+        .alias("w"),
+        (val * F.col("cross2")).alias("contrib_num"),
+    )
+
+
+def _sql_areal_weights() -> str:
+    from geo_import_spark.operators.textops import SQL_HASH28
+
+    h = SQL_HASH28.format(x="ov.subject_id")
+    return f"""
+WITH ov AS ({_SQL_OVERLAY}),
+tot AS (SELECT subject_id, CAST(SUM(cross2) AS BIGINT) AS tot2
+        FROM ov GROUP BY subject_id)
+SELECT ov.clip_id, ov.subject_id, ov.cross2, tot.tot2,
+       ({h}) % 1000 + 100 AS value,
+       CAST(ov.cross2 AS DOUBLE) / CAST(tot.tot2 AS DOUBLE) AS w,
+       (({h}) % 1000 + 100) * ov.cross2 AS contrib_num
+FROM ov JOIN tot ON tot.subject_id = ov.subject_id
+"""
+
+
 def _matryoshka_recall(spark, sf_dir):
     """Matryoshka prefix-truncation retrieval evaluation: per-query
     overlap between the full-dim cosine top-k and each truncated-dim
@@ -2465,6 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_windowed": _m4_windowed,
         "parse_wkt": _parse_wkt,
         "matryoshka_recall": _matryoshka_recall,
+        "areal_weights": _areal_weights,
+        "segment_raster_cells": _segment_raster_cells,
     }
 
 
@@ -3252,5 +3313,9 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "parse_wkt": _sql_parse_wkt(),
         "matryoshka_recall": similarity.sql_matryoshka_recall(
             n_queries=ANN_QUERIES, k=ANN_K
+        ),
+        "areal_weights": _sql_areal_weights(),
+        "segment_raster_cells": linejoin.sql_segment_raster_cells(
+            corpus.SQL_SEGMENTS_A
         ),
     }

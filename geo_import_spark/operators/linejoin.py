@@ -547,3 +547,92 @@ SELECT DISTINCT p.pt_id AS pt_id,
 FROM p CROSS JOIN s
 WHERE {pred}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact segment rasterization (supercover): cells a segment crosses
+# ---------------------------------------------------------------------------
+
+
+def segment_raster_cells(segments: DataFrame,
+                         grid: int = SEG_GRID) -> DataFrame:
+    """Every grid cell a segment actually CROSSES (touch counts) —
+    the exact supercover a telemetry pipeline uses to rasterize GPS
+    tracks onto tiles. The bbox cover is a superset (a diagonal
+    segment's bbox touches cells the line misses); each candidate
+    cell is then decided exactly: an endpoint inside the closed cell,
+    or the segment intersects one of the 4 cell edges — all integer
+    CLRS predicates (the segment_intersect machinery, shared
+    verbatim with the mirror).
+
+    Plan: a pure bounded explode (the bbox cover) + one wide
+    projection evaluating the 5 predicates in whole-stage codegen —
+    zero joins, zero shuffles, no Python; composes downstream with
+    tile counts without touching the segment table again.
+
+    Output: (line_id, cx, cy), one row per crossed cell.
+    """
+    g = int(grid)
+    cov = _cover(segments, "s", g)
+    c = (
+        cov.withColumn("gx0", F.col("cx") * g)
+        .withColumn("gx1", (F.col("cx") + 1) * g)
+        .withColumn("gy0", F.col("cy") * g)
+        .withColumn("gy1", (F.col("cy") + 1) * g)
+    )
+    inside = (
+        "(gx0 <= sx1 AND sx1 <= gx1 AND gy0 <= sy1 AND sy1 <= gy1)"
+        " OR (gx0 <= sx2 AND sx2 <= gx1 AND gy0 <= sy2 AND sy2 <= gy1)"
+    )
+    seg = dict(ax1="sx1", ay1="sy1", ax2="sx2", ay2="sy2")
+    edges = [
+        dict(bx1="gx0", by1="gy0", bx2="gx1", by2="gy0"),  # bottom
+        dict(bx1="gx0", by1="gy1", bx2="gx1", by2="gy1"),  # top
+        dict(bx1="gx0", by1="gy0", bx2="gx0", by2="gy1"),  # left
+        dict(bx1="gx1", by1="gy0", bx2="gx1", by2="gy1"),  # right
+    ]
+    crosses = " OR ".join(segment_pred(**seg, **e) for e in edges)
+    return (
+        c.filter(F.expr(f"({inside}) OR {crosses}"))
+        .select(F.col("s_id").alias("line_id"), "cx", "cy")
+    )
+
+
+def sql_segment_raster_cells(sql_segments: str,
+                             grid: int = SEG_GRID) -> str:
+    """Mirror: generate_series bbox cover + the identical inside/
+    edge-crossing predicate text."""
+    g = int(grid)
+    seg = dict(ax1="sx1", ay1="sy1", ax2="sx2", ay2="sy2")
+    edges = [
+        dict(bx1="gx0", by1="gy0", bx2="gx1", by2="gy0"),
+        dict(bx1="gx0", by1="gy1", bx2="gx1", by2="gy1"),
+        dict(bx1="gx0", by1="gy0", bx2="gx0", by2="gy1"),
+        dict(bx1="gx1", by1="gy0", bx2="gx1", by2="gy1"),
+    ]
+    crosses = " OR ".join(segment_pred(**seg, **e) for e in edges)
+    inside = (
+        "(gx0 <= sx1 AND sx1 <= gx1 AND gy0 <= sy1 AND sy1 <= gy1)"
+        " OR (gx0 <= sx2 AND sx2 <= gx1 AND gy0 <= sy2 AND sy2 <= gy1)"
+    )
+    return f"""
+WITH seg AS ({sql_segments}),
+s AS (
+  SELECT line_id, x1 AS sx1, y1 AS sy1, x2 AS sx2, y2 AS sy2,
+         CAST(floor(LEAST(x1, x2) / {g}.0) AS BIGINT) AS cx0,
+         CAST(floor(GREATEST(x1, x2) / {g}.0) AS BIGINT) AS cx1,
+         CAST(floor(LEAST(y1, y2) / {g}.0) AS BIGINT) AS cy0,
+         CAST(floor(GREATEST(y1, y2) / {g}.0) AS BIGINT) AS cy1
+  FROM seg
+),
+cx AS (SELECT s.*, unnest(generate_series(cx0, cx1)) AS cx FROM s),
+cov AS (SELECT cx.*, unnest(generate_series(cy0, cy1)) AS cy FROM cx),
+c AS (
+  SELECT line_id, sx1, sy1, sx2, sy2, cx, cy,
+         cx * {g} AS gx0, (cx + 1) * {g} AS gx1,
+         cy * {g} AS gy0, (cy + 1) * {g} AS gy1
+  FROM cov
+)
+SELECT line_id, cx, cy FROM c
+WHERE ({inside}) OR {crosses}
+"""

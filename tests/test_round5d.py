@@ -422,3 +422,110 @@ def test_link_prediction_hub_middle_is_excluded(spark):
     assert full.count() == 10
     capped = graphmod.link_prediction(li, sparsify=1, max_mid_deg=4)
     assert capped.count() == 0
+
+
+# --- areal_weights ---------------------------------------------------------
+
+
+def test_areal_weights_conserve_mass(spark, sf_dir):
+    rows = entrymod.queries()["areal_weights"](spark, sf_dir).collect()
+    assert rows
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r.subject_id, []).append(r)
+    for sid, rs in by_subj.items():
+        tot2 = rs[0].tot2
+        value = rs[0].value
+        assert sum(r.cross2 for r in rs) == tot2       # exact
+        assert sum(r.contrib_num for r in rs) == value * tot2  # exact
+        assert abs(sum(r.w for r in rs) - 1.0) < 1e-9  # float rollup
+        for r in rs:
+            assert 0.0 < r.w <= 1.0
+            assert r.contrib_num == r.value * r.cross2
+
+
+# --- segment_raster_cells --------------------------------------------------
+
+
+def _supercover_py(x1, y1, x2, y2, g):
+    """Python mirror: candidate bbox cells decided by exact
+    segment-vs-cell geometry via Fractions (no float error)."""
+    from fractions import Fraction
+    import math
+
+    cells = set()
+    cx0, cx1 = sorted((math.floor(x1 / g), math.floor(x2 / g)))
+    cy0, cy1 = sorted((math.floor(y1 / g), math.floor(y2 / g)))
+    dx, dy = x2 - x1, y2 - y1
+    for cx in range(cx0, cx1 + 1):
+        for cy in range(cy0, cy1 + 1):
+            gx0, gx1 = cx * g, (cx + 1) * g
+            gy0, gy1 = cy * g, (cy + 1) * g
+            if (gx0 <= x1 <= gx1 and gy0 <= y1 <= gy1) or (
+                gx0 <= x2 <= gx1 and gy0 <= y2 <= gy1
+            ):
+                cells.add((cx, cy))
+                continue
+            # clip the segment's parameter interval to the cell slab
+            t0, t1 = Fraction(0), Fraction(1)
+            ok = True
+            for p, q in ((-dx, x1 - gx0), (dx, gx1 - x1),
+                         (-dy, y1 - gy0), (dy, gy1 - y1)):
+                if p == 0:
+                    if q < 0:
+                        ok = False
+                        break
+                else:
+                    r = Fraction(q, p)
+                    if p < 0:
+                        t0 = max(t0, r)
+                    else:
+                        t1 = min(t1, r)
+            if ok and t0 <= t1:
+                cells.add((cx, cy))
+    return cells
+
+
+def test_segment_raster_matches_fraction_mirror(spark):
+    # segments chosen to make the bbox cover a strict superset:
+    # a long shallow diagonal misses the bbox's corner cells
+    g = 100
+    segs = [
+        ("diag", 5, 5, 295, 95),     # 3x1 cells, crosses all 3
+        ("steep", 10, 10, 90, 290),  # 1x3
+        ("corner", 10, 190, 190, 10),  # 2x2 bbox; misses NE cell? exact
+        ("ongrid", 0, 0, 300, 0),    # rides the y=0 boundary
+        ("inside", 120, 120, 130, 160),  # single cell
+    ]
+    df = spark.createDataFrame(
+        segs, "line_id string, x1 long, y1 long, x2 long, y2 long"
+    )
+    from geo_import_spark.operators import linejoin as lj
+
+    got = {}
+    for r in lj.segment_raster_cells(df, grid=g).collect():
+        got.setdefault(r.line_id, set()).add((r.cx, r.cy))
+    for line_id, x1, y1, x2, y2 in segs:
+        assert got.get(line_id, set()) == _supercover_py(
+            x1, y1, x2, y2, g
+        ), line_id
+
+
+def test_segment_raster_subset_of_cover(spark, sf_dir):
+    from geo_import_spark.operators import linejoin as lj
+
+    segs = corpus.line_segments_a(spark, sf_dir)
+    crossed = lj.segment_raster_cells(segs)
+    cov = lj._cover(segs, "s", lj.SEG_GRID).select(
+        F.col("s_id").alias("line_id"), "cx", "cy"
+    )
+    # crossed cells are a subset of the bbox cover, and every
+    # segment keeps at least one cell (its endpoints live somewhere)
+    assert crossed.join(cov, ["line_id", "cx", "cy"], "left_anti").count() == 0
+    assert crossed.select("line_id").distinct().count() == segs.count()
+
+
+def test_segment_raster_plan_is_map_only(spark, sf_dir):
+    p = _plan(spark, sf_dir, "segment_raster_cells")
+    assert "hashpartitioning" not in p
+    assert "Python" not in p
