@@ -2160,6 +2160,48 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _wkt_roundtrip(spark, sf_dir):
+    """Decode->re-encode fidelity for the WKT pair: LINESTRING text
+    built from the exact-integer segment corpus, parsed by the
+    vectorized decoder, re-emitted by the zero-Python Catalyst
+    formatter (format_wkt). The oracle builds the identical string
+    directly, so a defect in EITHER direction breaks the hash."""
+    from geo_import_spark.sources import wkt as wktmod
+
+    segs = corpus.line_segments_a(spark, sf_dir)
+    docs = segs.select(
+        F.col("line_id").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                F.concat(
+                    F.lit("LINESTRING ("),
+                    F.col("x1").cast("string"), F.lit(" "),
+                    F.col("y1").cast("string"), F.lit(", "),
+                    F.col("x2").cast("string"), F.lit(" "),
+                    F.col("y2").cast("string"), F.lit(")"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    parsed = wktmod.wkt_spans(docs)
+    return parsed.select(
+        "doc_id", wktmod.format_wkt(F.col("geom")).alias("wkt_out")
+    )
+
+
+def _sql_wkt_roundtrip() -> str:
+    return f"""
+WITH seg AS ({corpus.SQL_SEGMENTS_A})
+SELECT line_id AS doc_id,
+       'LINESTRING (' || x1 || ' ' || y1 || ', '
+         || x2 || ' ' || y2 || ')' AS wkt_out
+FROM seg
+"""
+
+
 def _segment_raster_cells(spark, sf_dir):
     """Exact segment supercover: the grid cells each line-layer-A
     segment actually crosses (bbox-cover candidates decided by the
@@ -2526,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": _matryoshka_recall,
         "areal_weights": _areal_weights,
         "segment_raster_cells": _segment_raster_cells,
+        "wkt_roundtrip": _wkt_roundtrip,
     }
 
 
@@ -3318,4 +3361,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "segment_raster_cells": linejoin.sql_segment_raster_cells(
             corpus.SQL_SEGMENTS_A
         ),
+        "wkt_roundtrip": _sql_wkt_roundtrip(),
     }

@@ -197,3 +197,84 @@ def wkt_spans(documents: DataFrame) -> DataFrame:
         F.col("f.crs").alias("crs"),
         F.col("f.error").alias("error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WKT export (ST_AsText analogue) — pure Catalyst, zero Python
+# ---------------------------------------------------------------------------
+
+
+def format_wkt(geom) -> "F.Column":
+    """Flat geometry struct -> WKT string, entirely in JVM
+    expressions (nested transform/sequence/array_join — no Python
+    worker anywhere). Engine-portable determinism requires
+    engine-portable number formatting, so the exporter emits
+    INTEGER-LATTICE coordinates (the engine's µdeg convention) and
+    RAISES on a non-integral coordinate instead of silently leaking
+    Spark's float formatting — a deployment exporting true doubles
+    would swap the vertex formatter for a UDF and accept that its
+    output is no longer hash-comparable across engines.
+
+    NULL geom -> NULL (the P4/P5 null-geometry convention).
+    """
+    xs, ys, ro, po = geom["xs"], geom["ys"], geom["ring_offsets"], geom["part_offsets"]
+    gt = geom["gtype"]
+
+    def as_int(c):
+        i = c.cast("long")
+        return F.when(i.cast("double") == c, i).otherwise(
+            F.raise_error(F.format_string(
+                "format_wkt: non-integer-lattice coordinate %s",
+                c)).cast("long")
+        )
+
+    def vstr(i):  # i: 1-based vertex index column
+        return F.concat(
+            as_int(F.element_at(xs, i)).cast("string"),
+            F.lit(" "),
+            as_int(F.element_at(ys, i)).cast("string"),
+        )
+
+    def ring(r):  # r: 0-based ring index column -> "(x y, x y, ...)"
+        lo = F.element_at(ro, r + 1)
+        hi = F.element_at(ro, r + 2)
+        return F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(F.sequence(lo + 1, hi), vstr), ", "),
+            F.lit(")"),
+        )
+
+    n_rings = F.size(ro) - 1
+    all_vertices = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.size(xs)), vstr), ", ")
+    rings_grp = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_rings - 1), ring), ", ")
+
+    def part(p):  # 0-based part index -> "((ring), (ring))"
+        lo = F.element_at(po, p + 1)
+        hi = F.element_at(po, p + 2)
+        return F.concat(
+            F.lit("("),
+            F.array_join(F.transform(F.sequence(lo, hi - 1), ring), ", "),
+            F.lit(")"),
+        )
+
+    parts_grp = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.size(po) - 2), part), ", ")
+
+    out = (
+        F.when(gt == "Point", F.concat(F.lit("POINT ("), vstr(F.lit(1)), F.lit(")")))
+        .when(gt == "LineString", F.concat(F.lit("LINESTRING "), ring(F.lit(0))))
+        .when(gt == "MultiPoint",
+              F.concat(F.lit("MULTIPOINT ("), all_vertices, F.lit(")")))
+        .when(gt == "Polygon", F.concat(F.lit("POLYGON ("), rings_grp, F.lit(")")))
+        .when(gt == "MultiLineString",
+              F.concat(F.lit("MULTILINESTRING ("), rings_grp, F.lit(")")))
+        .when(gt == "MultiPolygon",
+              F.concat(F.lit("MULTIPOLYGON ("), parts_grp, F.lit(")")))
+        .otherwise(
+            F.raise_error(F.format_string(
+                "format_wkt: unknown gtype %s", gt)).cast("string"))
+    )
+    return F.when(geom.isNull(), F.lit(None).cast("string")).otherwise(out)

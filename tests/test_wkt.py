@@ -108,3 +108,61 @@ def test_dispatch_routes_wkt(spark):
     assert len(out) == 1
     assert out[0].geom.gtype == "Point"
     assert (out[0].geom.xs, out[0].geom.ys) == ([3.0], [4.0])
+
+
+# --- format_wkt (export) ---------------------------------------------------
+
+
+@pytest.mark.parametrize("txt", [
+    "POINT (30 10)",
+    "LINESTRING (30 10, 10 30, 40 40)",
+    "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+    "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10),"
+    " (20 30, 35 35, 30 20, 20 30))",
+    "MULTIPOINT (10 40, 40 30)",
+    "MULTILINESTRING ((10 10, 20 20), (40 40, 30 30))",
+    "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)),"
+    " ((15 5, 40 10, 10 20, 15 5), (20 15, 25 20, 22 17, 20 15)))",
+])
+def test_format_wkt_roundtrips_canonical_text(spark, txt):
+    out = (
+        wkt.wkt_spans(_docs(spark, [txt]))
+        .select(wkt.format_wkt(F.col("geom")).alias("w"))
+        .collect()[0].w
+    )
+    assert out == txt
+
+
+def test_format_wkt_null_geom_is_null(spark):
+    out = (
+        wkt.wkt_spans(_docs(spark, ["POINT EMPTY"]))
+        .select(wkt.format_wkt(F.col("geom")).alias("w"))
+        .collect()[0].w
+    )
+    assert out is None
+
+
+def test_format_wkt_is_jvm_only(spark):
+    import io
+    import re as _re
+    import contextlib
+
+    df = wkt.wkt_spans(_docs(spark, ["POINT (1 2)"])).select(
+        wkt.format_wkt(F.col("geom")).alias("w")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # exactly ONE Python stage: the decoder; the formatter adds none
+    # (count "(n) ArrowEvalPython" node headers — each node also
+    # appears once in the plan's tree summary)
+    assert len(_re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+
+
+def test_format_wkt_rejects_non_lattice(spark):
+    df = wkt.wkt_spans(_docs(spark, ["POINT (1.5 2)"])).select(
+        wkt.format_wkt(F.col("geom")).alias("w")
+    )
+    with pytest.raises(Exception, match="non-integer-lattice"):
+        df.collect()
