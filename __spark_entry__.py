@@ -2160,6 +2160,84 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _normalize_rings(spark, sf_dir):
+    """Winding normalization end-to-end: the holed layer is
+    deterministically CORRUPTED (ring r of polygon pk reversed iff
+    (pk + r) % 2 == 0), then validation.normalize_rings rewinds
+    shells CCW and holes CW — all map-only Catalyst array folds. The
+    report row per ring carries was_flipped (must equal the planted
+    corruption flag) and the post-normalization orientation (always
+    CCW for the shell, CW for the hole); the oracle derives both
+    analytically from pk, so any defect in the shoelace sign, the
+    shell/hole classification, or the array rebuild breaks the
+    hash."""
+    from geo_import_spark.operators import validation
+
+    hp = corpus.holed_polygons(spark, sf_dir)
+    g = F.col("geom")
+    ro = g["ring_offsets"]
+    dirty_flips = F.transform(
+        F.sequence(F.lit(0), F.size(ro) - 2),
+        lambda r: (F.col("pk") + r) % 2 == 0,
+    )
+
+    def corrupt(coords):
+        def one(r):
+            rs = F.element_at(ro, r + 1)
+            ln = F.element_at(ro, r + 2) - rs
+            sl = F.slice(coords, rs + 1, ln)
+            return F.when((F.col("pk") + r) % 2 == 0,
+                          F.reverse(sl)).otherwise(sl)
+
+        return F.flatten(
+            F.transform(F.sequence(F.lit(0), F.size(ro) - 2), one))
+
+    dirty = hp.select(
+        "poly_id",
+        F.struct(
+            g["gtype"].alias("gtype"),
+            g["part_offsets"].alias("part_offsets"),
+            g["ring_offsets"].alias("ring_offsets"),
+            corrupt(g["xs"]).alias("xs"),
+            corrupt(g["ys"]).alias("ys"),
+        ).alias("geom"),
+    )
+    out = validation.normalize_rings(dirty)
+    rep = out.select(
+        "poly_id",
+        F.posexplode(F.arrays_zip(F.col("flips").alias("f"),
+                                  F.col("signs").alias("s")))
+        .alias("ring", "pair"),
+    )
+    s_after = F.when(F.col("pair.f"), -F.col("pair.s")).otherwise(
+        F.col("pair.s"))
+    return rep.select(
+        "poly_id",
+        F.col("ring").cast("int").alias("ring"),
+        F.col("pair.f").alias("was_flipped"),
+        F.when(s_after > 0, F.lit("CCW"))
+        .when(s_after < 0, F.lit("CW"))
+        .otherwise(F.lit("degenerate"))
+        .alias("orientation_after"),
+    )
+
+
+def _sql_normalize_rings() -> str:
+    from geo_import_spark.corpus import N_HOLED_REPLICAS
+
+    return f"""
+WITH pkt AS (
+  SELECT (n_nationkey * {N_HOLED_REPLICAS} + rep) AS pk
+  FROM nation CROSS JOIN (SELECT UNNEST(range({N_HOLED_REPLICAS})) AS rep)
+), r AS (SELECT UNNEST(range(2)) AS ring)
+SELECT 'hpoly-' || CAST(pk AS VARCHAR) AS poly_id,
+       CAST(ring AS INTEGER) AS ring,
+       (pk + ring) % 2 = 0 AS was_flipped,
+       CASE WHEN ring = 0 THEN 'CCW' ELSE 'CW' END AS orientation_after
+FROM pkt CROSS JOIN r
+"""
+
+
 def _wkt_roundtrip(spark, sf_dir):
     """Decode->re-encode fidelity for the WKT pair: LINESTRING text
     built from the exact-integer segment corpus, parsed by the
@@ -2569,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_weights": _areal_weights,
         "segment_raster_cells": _segment_raster_cells,
         "wkt_roundtrip": _wkt_roundtrip,
+        "normalize_rings": _normalize_rings,
     }
 
 
@@ -3362,4 +3441,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
             corpus.SQL_SEGMENTS_A
         ),
         "wkt_roundtrip": _sql_wkt_roundtrip(),
+        "normalize_rings": _sql_normalize_rings(),
     }

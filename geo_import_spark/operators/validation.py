@@ -225,3 +225,92 @@ SELECT poly_id,
 FROM e WHERE x2 IS NOT NULL
 GROUP BY poly_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Winding normalization (shell CCW, holes CW) — pure map, zero shuffle
+# ---------------------------------------------------------------------------
+
+
+def normalize_rings(polys: DataFrame) -> DataFrame:
+    """OGC winding normalization: every SHELL ring (first ring of its
+    part, per part_offsets) is rewound CCW and every HOLE ring CW —
+    the close-rings/linify family's missing third fix (the reference
+    closes rings but never repairs winding; PostGIS calls this
+    ST_ForcePolygonCCW). Degenerate rings (signed area 0) are left
+    untouched.
+
+    The signed shoelace per ring is an exact BIGINT fold on the µdeg
+    lattice (the validation module's `_U` convention), computed
+    INLINE with nested aggregate/transform over the flat offsets —
+    no explode, no groupBy, no join: the whole operator is two
+    map-only projections, so it composes into any decoder pipeline
+    with zero added shuffles at any scale.
+
+    Output: (poly_id, geom) with rewound xs/ys (offsets unchanged;
+    rings are stored closed, and reversing a closed ring keeps it
+    closed), plus `flips` (boolean per ring) and `signs` (the
+    pre-normalization signed 2A in squared µdeg) for reporting.
+
+    Composition note: feeding this operator its OWN unmaterialized
+    output nests the array expression tree combinatorially (each
+    element_at re-expands the rebuilt-array subtree) — materialize
+    (cache/localCheckpoint/write) between repeated passes, as any
+    real decode pipeline already does between stages.
+    """
+    geom = F.col("geom")
+    ro, po = geom["ring_offsets"], geom["part_offsets"]
+    xs, ys = geom["xs"], geom["ys"]
+    ux = lambda i: F.round(F.element_at(xs, i) * 1_000_000, 0).cast("long")  # noqa: E731
+    uy = lambda i: F.round(F.element_at(ys, i) * 1_000_000, 0).cast("long")  # noqa: E731
+
+    def sign(r):
+        rs = F.element_at(ro, r + 1)
+        re_ = F.element_at(ro, r + 2)
+        return F.aggregate(
+            F.sequence(rs + 1, re_ - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + ux(i) * uy(i + 1) - ux(i + 1) * uy(i),
+        )
+
+    shells = F.slice(po, 1, F.size(po) - 1)
+    ring_seq = F.sequence(F.lit(0), F.size(ro) - 2)
+    signs = F.transform(ring_seq, sign)
+    flips = F.transform(
+        ring_seq,
+        lambda r: F.when(
+            F.array_contains(shells, r),
+            F.element_at(signs, r + 1) < 0,
+        ).otherwise(F.element_at(signs, r + 1) > 0),
+    )
+    staged = polys.select(
+        "poly_id", "geom", signs.alias("signs"), flips.alias("flips")
+    )
+    g = F.col("geom")
+    ro2 = g["ring_offsets"]
+
+    def rebuild(coords):
+        def one(r):
+            rs = F.element_at(ro2, r + 1)
+            ln = F.element_at(ro2, r + 2) - rs
+            sl = F.slice(coords, rs + 1, ln)
+            return F.when(
+                F.element_at(F.col("flips"), r + 1), F.reverse(sl)
+            ).otherwise(sl)
+
+        return F.flatten(
+            F.transform(F.sequence(F.lit(0), F.size(ro2) - 2), one)
+        )
+
+    return staged.select(
+        "poly_id",
+        F.struct(
+            g["gtype"].alias("gtype"),
+            g["part_offsets"].alias("part_offsets"),
+            g["ring_offsets"].alias("ring_offsets"),
+            rebuild(g["xs"]).alias("xs"),
+            rebuild(g["ys"]).alias("ys"),
+        ).alias("geom"),
+        "signs",
+        "flips",
+    )
