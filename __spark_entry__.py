@@ -2160,6 +2160,15 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _sq8_recall(spark, sf_dir):
+    """Scalar int8 quantization retrieval evaluation: per-query
+    overlap between the full-precision cosine top-k and the top-k
+    over SQ8 dequantized vectors (per-dim [min,max] envelope from
+    one corpus pass) — the 1-byte/dim go/no-go measurement."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.sq8_recall(emb, n_queries=ANN_QUERIES, k=ANN_K)
+
+
 def _normalize_rings(spark, sf_dir):
     """Winding normalization end-to-end: the holed layer is
     deterministically CORRUPTED (ring r of polygon pk reversed iff
@@ -2648,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_raster_cells": _segment_raster_cells,
         "wkt_roundtrip": _wkt_roundtrip,
         "normalize_rings": _normalize_rings,
+        "sq8_recall": _sq8_recall,
     }
 
 
@@ -3442,4 +3452,7 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         ),
         "wkt_roundtrip": _sql_wkt_roundtrip(),
         "normalize_rings": _sql_normalize_rings(),
+        "sq8_recall": similarity.sql_sq8_recall(
+            n_queries=ANN_QUERIES, k=ANN_K
+        ),
     }

@@ -1273,3 +1273,157 @@ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
 {body}
 {union}
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization evaluation (SQ8 recall vs full precision)
+# ---------------------------------------------------------------------------
+
+
+def sq8_recall(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Scalar-quantization evaluation (the FAISS SQ8 scheme): each
+    dimension is affinely quantized to 0..255 against the corpus'
+    per-dimension [min, max] envelope, dequantized, and the cosine
+    top-k over the reconstructed vectors is compared to the
+    full-precision top-k — the measurement that decides whether a
+    deployment can drop to 1 byte/dim (4x smaller than float32, 8x
+    than float64).
+
+    Determinism: per-dim min/max are exact aggregates; the quantize/
+    dequantize expression is the same fixed shape in both engines
+    (round parity is the house `_U` precedent); the cosine reuses
+    the ANN family's left-fold dot product; output is pure integer.
+    Constant dimensions (max == min) dequantize to the constant.
+
+    Plan: ONE corpus pass builds the 2x|dim| envelope (a broadcast
+    1-row frame), then the cosine_topk shape per representation;
+    the corpus never shuffles.
+
+    Zero-norm vectors (raw, or collapsed to zero by quantization)
+    are unindexable under cosine and are dropped from the affected
+    representation (the matryoshka_recall convention) instead of
+    tripping ANSI divide-by-zero; the envelope is built over the
+    indexable set.
+
+    Output: (query_id, n_overlap) — intersection size between the
+    SQ8 top-k and the full top-k per query.
+    """
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    e = e.filter(_dot(F.col("v"), F.col("v")) > 0)
+    dim_cols = []
+    for i in range(1, DIM + 1):
+        dim_cols.append(F.min(F.element_at("v", i)).alias(f"lo{i}"))
+        dim_cols.append(F.max(F.element_at("v", i)).alias(f"hi{i}"))
+    env = e.agg(*dim_cols)
+    lo = F.array(*[F.col(f"lo{i}") for i in range(1, DIM + 1)])
+    hi = F.array(*[F.col(f"hi{i}") for i in range(1, DIM + 1)])
+    env = env.select(lo.alias("lo"), hi.alias("hi"))
+
+    def dequant(v):
+        # q = round((x - lo)*255/(hi - lo)); xq = lo + q*(hi - lo)/255
+        return F.zip_with(
+            v,
+            F.zip_with(
+                F.col("lo"), F.col("hi"),
+                lambda a, b: F.struct(a.alias("lo"), b.alias("hi")),
+            ),
+            lambda x, s: F.when(
+                s["hi"] > s["lo"],
+                s["lo"]
+                + F.round(
+                    (x - s["lo"]) * 255.0 / (s["hi"] - s["lo"]), 0
+                ) * (s["hi"] - s["lo"]) / 255.0,
+            ).otherwise(s["lo"]),
+        )
+
+    eq = e.crossJoin(F.broadcast(env)).select(
+        "vec_id", dequant(F.col("v")).alias("embedding")
+    )
+    eq = eq.filter(
+        _dot(_dvec(F.col("embedding")), _dvec(F.col("embedding"))) > 0
+    )
+    full = cosine_topk(e.select("vec_id", F.col("v").alias("embedding")),
+                       n_queries, k)
+    sq = cosine_topk(eq, n_queries, k)
+    qids = full.select("query_id").distinct()
+    ov = (
+        full.join(sq, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return qids.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+    )
+
+
+def sql_sq8_recall(n_queries: int = 10, k: int = 10) -> str:
+    """Mirror: generate_series-indexed envelope (this DuckDB build
+    lacks UNNEST WITH ORDINALITY), identical quantize/dequantize
+    expression, the SQL_COSINE_TOPK CTE per representation, same
+    join + zero-fill."""
+    dq = ("CASE WHEN hi[i] > lo[i] THEN lo[i] + round((v[i] - lo[i])"
+          " * 255.0 / (hi[i] - lo[i]), 0) * (hi[i] - lo[i]) / 255.0"
+          " ELSE lo[i] END")
+    nrm = (f"list_sum(list_transform(range(1, {DIM + 1}),"
+           " i -> v[i] * v[i])) > 0")
+    return f"""
+WITH e0 AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+e AS (SELECT * FROM e0 WHERE {nrm}),
+dims AS (
+  SELECT d.i AS d, MIN(e.v[d.i]) AS mn, MAX(e.v[d.i]) AS mx
+  FROM e, (SELECT UNNEST(range(1, {DIM + 1})) AS i) d
+  GROUP BY d.i
+),
+env AS (SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi
+        FROM dims),
+eq0 AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM + 1}), i -> {dq}) AS v
+  FROM e, env
+),
+eq AS (SELECT * FROM eq0 WHERE {nrm}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+full_cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])))
+              * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * v[i])))) AS cos
+  FROM e CROSS JOIN q
+),
+full_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM full_cand
+  ) WHERE rank <= {k}
+),
+sq_q AS (SELECT vec_id AS query_id, v AS qv FROM eq
+         WHERE vec_id < {n_queries}),
+sq_cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])))
+              * sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * v[i])))) AS cos
+  FROM eq e CROSS JOIN sq_q q
+),
+sq_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM sq_cand
+  ) WHERE rank <= {k}
+)
+SELECT q.query_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap
+FROM q LEFT JOIN (
+  SELECT f.query_id, count(*) AS n_overlap
+  FROM full_top f JOIN sq_top t
+    ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+  GROUP BY f.query_id
+) ov ON ov.query_id = q.query_id
+"""

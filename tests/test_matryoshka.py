@@ -58,3 +58,32 @@ def test_zero_norm_prefix_is_dropped_not_crash(spark):
                e, n_queries=3, k=5, dims=(2,)).collect()}
     assert got[0] == 0           # unindexable query -> zero overlap
     assert got[1] >= 1 and got[2] >= 1
+
+
+# --- sq8_recall ------------------------------------------------------------
+
+
+def test_sq8_shape_and_bounds(emb):
+    rows = similarity.sq8_recall(emb).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+
+
+def test_sq8_perfect_on_already_quantized(spark):
+    # vectors whose coordinates already sit exactly on a 255-step
+    # lattice between the per-dim min and max quantize losslessly ->
+    # the SQ8 top-k must equal the full top-k for every query
+    dim = similarity.DIM
+    rows = []
+    for i in range(30):
+        v = [float(((i + 1) * (j + 3)) % 256) for j in range(dim)]
+        rows.append((i, v))
+    # force per-dim envelope to [0, 255] so the lattice is exact
+    rows.append((1000, [0.0] * dim))
+    rows.append((1001, [255.0] * dim))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.sq8_recall(e, n_queries=5, k=5).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.n_overlap == 5
