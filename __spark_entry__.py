@@ -187,15 +187,21 @@ def _sql_cluster_hulls() -> str:
     what the Spark fold emits for them."""
     from geo_import_spark.operators import dbscan, geomops
 
-    clustered = f"""
+    # the recursive DBSCAN subquery MUST be materialized once: the
+    # hull-edge mirror references its input several times, and DuckDB
+    # re-executes a non-materialized CTE per reference — inlining the
+    # recursion that many times took the sf0.01 oracle from seconds
+    # to 10+ minutes
+    clustered = """
 SELECT cluster_id AS a_string,
        CAST(x AS DOUBLE) AS lon,
        CAST(y AS DOUBLE) AS lat
-FROM ({dbscan.sql_grid_dbscan(SQL_POINTS)})
+FROM clustered_m
 WHERE cluster_id IS NOT NULL
 """
     return f"""
-WITH hulls AS ({geomops.sql_convex_hull(clustered)}),
+WITH clustered_m AS MATERIALIZED ({dbscan.sql_grid_dbscan(SQL_POINTS)}),
+hulls AS (SELECT * FROM ({geomops.sql_convex_hull(clustered)})),
 cellct AS (
   SELECT a_string AS cluster_id, COUNT(*) AS n_cells
   FROM ({clustered})
