@@ -2166,6 +2166,17 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _grid_change(spark, sf_dir):
+    """Map-update change detection per density-grid cell: first vs
+    second calendar half (midpoint split from broadcast bounds),
+    ONE conditional map-side-combined aggregation, exact-integer
+    deltas with new/gone/grown/shrunk/stable labels."""
+    docs = corpus.documents(spark, sf_dir)
+    return spatialstats.grid_change(
+        geojson.point_spans(docs), _order_months(spark, sf_dir)
+    )
+
+
 def _sq8_recall(spark, sf_dir):
     """Scalar int8 quantization retrieval evaluation: per-query
     overlap between the full-precision cosine top-k and the top-k
@@ -2664,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_roundtrip": _wkt_roundtrip,
         "normalize_rings": _normalize_rings,
         "sq8_recall": _sq8_recall,
+        "grid_change": _grid_change,
     }
 
 
@@ -3460,5 +3472,8 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "normalize_rings": _sql_normalize_rings(),
         "sq8_recall": similarity.sql_sq8_recall(
             n_queries=ANN_QUERIES, k=ANN_K
+        ),
+        "grid_change": spatialstats.sql_grid_change(
+            SQL_POINTS, _SQL_ORDER_MONTHS
         ),
     }

