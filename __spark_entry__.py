@@ -2166,6 +2166,61 @@ def _seasonal_profile(spark, sf_dir):
     return temporal.seasonal_profile(_events(spark, sf_dir))
 
 
+def _cell_cover_fraction(spark, sf_dir):
+    """Exact polygon rasterization: fraction of each touched world-
+    grid cell covered by each concave-L polygon — intersection area
+    over exact cell area (conservative-regridding weights), the
+    overlay_join machinery fed by a bbox-bounded cell explode."""
+    from geo_import_spark.operators import overlay as overlaymod
+
+    return overlaymod.cell_cover_fraction(
+        corpus.concave_polygons(spark, sf_dir)
+    )
+
+
+def _sql_cell_cover_fraction() -> str:
+    from geo_import_spark.operators.overlay import (
+        CROSS_TO_DEG2,
+        RASTER_FRAC_LEVEL,
+    )
+
+    n = 1 << RASTER_FRAC_LEVEL
+    cw, ch = 360.0 / n, 180.0 / n
+    denom = repr(CROSS_TO_DEG2 * cw * ch)
+    return f"""
+WITH lpolys AS ({SQL_CONCAVE_POLYGONS}),
+rng AS (
+  SELECT GREATEST(LEAST(CAST(floor((x0 + 180.0) / {cw!r}) AS BIGINT), {n - 1}), 0) AS i0,
+         GREATEST(LEAST(CAST(floor((x1 + 180.0) / {cw!r}) AS BIGINT), {n - 1}), 0) AS i1,
+         GREATEST(LEAST(CAST(floor((y0 + 90.0) / {ch!r}) AS BIGINT), {n - 1}), 0) AS j0,
+         GREATEST(LEAST(CAST(floor((y1 + 90.0) / {ch!r}) AS BIGINT), {n - 1}), 0) AS j1
+  FROM lpolys
+),
+ii AS (SELECT UNNEST(generate_series(i0, i1)) AS i, j0, j1 FROM rng),
+cells AS (SELECT DISTINCT i, UNNEST(generate_series(j0, j1)) AS j FROM ii),
+rects AS (
+  SELECT i, j,
+         -180.0 + i * {cw!r} AS minx, -90.0 + j * {ch!r} AS miny,
+         -180.0 + (i + 1) * {cw!r} AS maxx,
+         -90.0 + (j + 1) * {ch!r} AS maxy
+  FROM cells
+),
+pairs AS (
+  SELECT r.i, r.j, l.poly_id AS subject_id,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxx, l.x1) - GREATEST(r.minx, l.x0)) * 2000000.0 + 0.5) AS BIGINT) AS w1,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxy, l.ym) - GREATEST(r.miny, l.y0)) * 2000000.0 + 0.5) AS BIGINT) AS h1,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxx, l.xm) - GREATEST(r.minx, l.x0)) * 2000000.0 + 0.5) AS BIGINT) AS w2,
+    CAST(floor(GREATEST(0.0, LEAST(r.maxy, l.y1) - GREATEST(r.miny, l.ym)) * 2000000.0 + 0.5) AS BIGINT) AS h2
+  FROM rects r JOIN lpolys l
+    ON r.minx < l.x1 AND r.maxx > l.x0 AND r.miny < l.y1 AND r.maxy > l.y0
+)
+SELECT i AS cell_i, j AS cell_j, subject_id,
+       2 * (w1 * h1 + w2 * h2) AS cross2,
+       CAST(2 * (w1 * h1 + w2 * h2) AS DOUBLE) / {denom} AS frac
+FROM pairs WHERE w1 * h1 + w2 * h2 > 0
+"""
+
+
 def _grid_change(spark, sf_dir):
     """Map-update change detection per density-grid cell: first vs
     second calendar half (midpoint split from broadcast bounds),
@@ -2676,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_rings": _normalize_rings,
         "sq8_recall": _sq8_recall,
         "grid_change": _grid_change,
+        "cell_cover_fraction": _cell_cover_fraction,
     }
 
 
@@ -3476,4 +3532,5 @@ SELECT vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY vec_id
         "grid_change": spatialstats.sql_grid_change(
             SQL_POINTS, _SQL_ORDER_MONTHS
         ),
+        "cell_cover_fraction": _sql_cell_cover_fraction(),
     }

@@ -640,3 +640,35 @@ def test_grid_change_single_count_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "grid_change")
     assert len(re.findall(r"hashpartitioning\(x", p)) <= 1
     assert "Python" in p or True  # decode UDF allowed upstream
+
+
+# --- cell_cover_fraction ---------------------------------------------------
+
+
+def test_cell_cover_fraction_invariants(spark, sf_dir):
+    from geo_import_spark.operators import overlay as overlaymod
+
+    rows = entrymod.queries()["cell_cover_fraction"](
+        spark, sf_dir).collect()
+    assert rows
+    # fractions are in (0, 1]; per-polygon fraction mass equals the
+    # polygon's area in cell units (conservative regridding: the
+    # weights must re-distribute exactly the polygon's area)
+    per_poly = {}
+    for r in rows:
+        assert 0.0 < r.frac <= 1.0 + 1e-12
+        per_poly.setdefault(r.subject_id, 0)
+        per_poly[r.subject_id] += r.cross2
+    polys = corpus.concave_polygons(spark, sf_dir)
+    from geo_import_spark.operators.geomstats import geom_stats
+
+    areas = {
+        r.poly_id: r.area
+        for r in geom_stats(polys).collect()
+    }
+    for pid, csum in per_poly.items():
+        # cross2 sums to 2*area*(2e6)^2 exactly (the lattice clip
+        # partitions the polygon across cells, half-µdeg rounding
+        # gives at most one lattice step per cell boundary)
+        expect = areas[pid] * overlaymod.CROSS_TO_DEG2
+        assert abs(csum - expect) <= 64, (pid, csum, expect)
